@@ -1,0 +1,83 @@
+"""Runtime configuration for the TPU-native VarGeno framework.
+
+The reference implementation (medvedevgroup/vargeno) hard-codes all of these as
+compile-time ``#define``s (reference: src/vartype.h:6-17,27,93,103;
+src/generate_bf.h:201-209; src/qv.cc:57-58).  Here they are runtime dataclass
+fields so a single build supports every configuration, with defaults chosen to
+reproduce the reference behavior bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# --- 2-bit base codes (reference: src/vartype.h:20-25) ---
+BASE_A = 0
+BASE_C = 1
+BASE_G = 2
+BASE_T = 3
+BASE_N = 4
+BASE_X = 7
+
+K = 32  # k-mer length; fixed by the 64-bit packing (reference: src/vartype.h:38)
+
+# Flag values for dictionary entries (reference: src/vartype.h:33-36)
+POS_AMBIGUOUS = 0xFFFFFFFF
+FLAG_UNAMBIGUOUS = 0x00
+FLAG_AMBIGUOUS = 0x01
+
+# Sentinel for "no base of this k-mer was mutated" (reference: src/qv.cc:710)
+NO_MODIFICATION = 10086
+
+GTYPE_NONE, GTYPE_REF, GTYPE_ALT, GTYPE_HET = 0, 1, 2, 3
+
+
+@dataclasses.dataclass(frozen=True)
+class GenoConfig:
+    """All tunables of index build + genotyping.
+
+    Defaults replicate the reference's compiled-in configuration
+    (DEBUG=0, REF_LITE=0, PCOMPACT=0 variant).
+    """
+
+    # --- statistical model (reference: src/vartype.h:12-17, 27) ---
+    read_len: int = 101
+    err_rate: float = 0.01
+    avg_cov: float = 7.1
+    quality_score: int = ord("8")  # neighbor search iff qual[i] < this
+    max_cov: int = 63  # saturating 6-bit pileup counters
+
+    # --- dictionary structure (reference: src/vartype.h:93,103) ---
+    aux_table_cols: int = 10
+    block_size_threshold: int = 100
+
+    # --- Bloom filter geometry (reference: src/generate_bf.h:201-209) ---
+    ref_bf_bytes: int = 1_200_000_000
+    ref_lite_bf_bytes: int = 2_300_000_000
+    snp_bf_bytes: int = 140_000_000
+
+    # --- TPU engine shapes (new; no reference equivalent: the reference is
+    # single-threaded and processes one read at a time, src/qv.cc:760) ---
+    batch_reads: int = 4096        # reads per device batch
+    max_read_len: int = 128        # padded read length (>= read_len)
+    max_kmers_per_read: int = 4    # K slots = ceil(max_read_len/32)
+    events_per_read: int = 128     # compacted hit-context capacity per read
+    candidates_per_read: int = 48  # distinct candidate positions in the vote table
+
+    # --- distribution ---
+    data_axis: str = "data"
+
+    @property
+    def ref_bf_bits(self) -> int:
+        return self.ref_bf_bytes * 8
+
+    @property
+    def snp_bf_bits(self) -> int:
+        return self.snp_bf_bytes * 8
+
+    @property
+    def ref_lite_bf_bits(self) -> int:
+        return self.ref_lite_bf_bytes * 8
+
+
+DEFAULT_CONFIG = GenoConfig()

@@ -31,6 +31,8 @@ NO_MODIFICATION = 10086
 
 GTYPE_NONE, GTYPE_REF, GTYPE_ALT, GTYPE_HET = 0, 1, 2, 3
 
+AUX_TABLE_COLS_DEF = 10  # reference: src/vartype.h:93
+
 
 @dataclasses.dataclass(frozen=True)
 class GenoConfig:

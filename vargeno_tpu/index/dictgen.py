@@ -1,0 +1,299 @@
+"""Index ("dictgen") build: sorted 32-mer dictionaries as flat numpy arrays.
+
+Re-designs the reference's sequential writer (src/dictgen.c) as vectorized
+numpy group-by operations: rolling k-mer extraction is 32 shifted ORs,
+sorting is a stable argsort (matching glibc qsort's mergesort stability on
+the reference's (kmer)-keyed records), and the ambiguity/aux-table encoding
+(src/dictgen.c:83-135, 176-253) becomes unique+counts bookkeeping.
+
+Output semantics are bit-identical to the reference's .dict files:
+- unique k-mer rows sorted ascending;
+- a k-mer with 2..10 positions gets pos=aux_row_index and FLAG_AMBIGUOUS,
+  its positions stored in generation order, zero-padded to 10 columns;
+- a k-mer with >10 positions gets pos=POS_AMBIGUOUS and consumes no aux row
+  (src/dictgen.c:116-128).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from ..config import (
+    AUX_TABLE_COLS_DEF,
+    BASE_X,
+    FLAG_AMBIGUOUS,
+    FLAG_UNAMBIGUOUS,
+    POS_AMBIGUOUS,
+)
+from ..core.kmer import np_rolling_kmers_u64, np_window_has_n
+from ..io.fasta import Seq
+from ..io.vcf import CafExtractor, encode_freq, iter_vcf_rows
+
+
+@dataclasses.dataclass
+class RefDict:
+    """The reference k-mer dictionary (mirrors prefix.ref.dict)."""
+
+    kmers: np.ndarray   # (n,) uint64, sorted ascending, unique
+    pos: np.ndarray     # (n,) uint32: position | aux row | POS_AMBIGUOUS
+    flag: np.ndarray    # (n,) uint8
+    aux: np.ndarray     # (m, 10) uint32, zero-padded position lists
+
+
+@dataclasses.dataclass
+class SnpDict:
+    """The SNP k-mer dictionary (mirrors prefix.snp.dict)."""
+
+    kmers: np.ndarray      # (n,) uint64, sorted ascending, unique
+    pos: np.ndarray        # (n,) uint32
+    snp: np.ndarray        # (n,) uint8 snp_info (0 for ambiguous rows)
+    flag: np.ndarray       # (n,) uint8
+    ref_freq: np.ndarray   # (n,) uint8 (0 for ambiguous rows)
+    alt_freq: np.ndarray   # (n,) uint8
+    aux_kmer: np.ndarray   # (m,) uint64
+    aux_pos: np.ndarray    # (m, 10) uint32
+    aux_snp: np.ndarray    # (m, 10) uint8
+    aux_rf: np.ndarray     # (m, 10) uint8
+    aux_af: np.ndarray     # (m, 10) uint8
+
+
+def _group_ambiguity(kmers_sorted: np.ndarray, aux_cols: int):
+    """unique kmers + first index + counts + aux row ids.
+
+    Returns (uniq, first, counts, pos_or_aux, flag, aux_sel) where aux_sel
+    is the boolean mask of unique kmers that own an aux row (2..10 copies),
+    with aux rows numbered in ascending-kmer order as the sequential writer
+    does (src/dictgen.c:125).
+    """
+    uniq, first, counts = np.unique(
+        kmers_sorted, return_index=True, return_counts=True)
+    flag = np.where(counts == 1, FLAG_UNAMBIGUOUS, FLAG_AMBIGUOUS).astype(
+        np.uint8)
+    has_aux = (counts > 1) & (counts <= aux_cols)
+    aux_id = np.cumsum(has_aux) - 1
+    pos_or_aux = np.where(
+        counts > aux_cols, np.uint32(POS_AMBIGUOUS), aux_id.astype(np.uint32))
+    return uniq, first, counts, pos_or_aux, flag, has_aux
+
+
+def _aux_rows(first, counts, sel, values, aux_cols, dtype):
+    """Gather zero-padded aux rows of ``values`` for selected groups."""
+    f = first[sel]
+    c = counts[sel]
+    m = f.shape[0]
+    out = np.zeros((m, aux_cols), dtype=dtype)
+    col = np.arange(aux_cols)
+    idx = f[:, None] + col[None, :]
+    valid = col[None, :] < c[:, None]
+    idx = np.minimum(idx, values.shape[0] - 1)
+    out[valid] = values[idx][valid]
+    return out
+
+
+def build_ref_dict(seqs: List[Seq], aux_cols: int = AUX_TABLE_COLS_DEF
+                   ) -> Tuple[RefDict, int]:
+    """Build the reference dictionary from dict-parser-normalized sequences.
+
+    Positions are 1-based offsets into the concatenation of all chromosomes
+    in FASTA order (src/dictgen.c:289, 303-320). Returns (dict, max_pos).
+    """
+    all_kmers = []
+    all_pos = []
+    index = 1  # 1-based global position cursor
+    for s in seqs:
+        codes = s.codes_normalized()
+        n = s.size
+        if n >= 32:
+            roll = np_rolling_kmers_u64(codes)
+            ok = ~np_window_has_n(codes)
+            pos = (np.arange(roll.shape[0], dtype=np.uint64) +
+                   np.uint64(index)).astype(np.uint32)
+            all_kmers.append(roll[ok])
+            all_pos.append(pos[ok])
+        index += n
+    kmers = np.concatenate(all_kmers) if all_kmers else np.zeros(0, np.uint64)
+    pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.uint32)
+
+    order = np.argsort(kmers, kind="stable")
+    kmers = kmers[order]
+    pos = pos[order]
+
+    uniq, first, counts, pos_or_aux, flag, has_aux = _group_ambiguity(
+        kmers, aux_cols)
+    out_pos = np.where(counts == 1, pos[np.minimum(first, len(pos) - 1)]
+                       if len(pos) else 0, pos_or_aux).astype(np.uint32)
+    aux = _aux_rows(first, counts, has_aux, pos, aux_cols, np.uint32)
+    max_pos = int(pos.max()) if pos.size else 0
+    return RefDict(kmers=uniq, pos=out_pos, flag=flag, aux=aux), max_pos
+
+
+def _find_seq_by_name(seqs: List[Seq], name: str):
+    """find_seq_by_name (src/dictgen.c:303-320): dict-style names; returns
+    (seq, 1-based global start index) or (None, 0)."""
+    start = 1
+    for s in seqs:
+        if s.name == name:
+            return s, start
+        start += s.size
+    return None, 0
+
+
+class VcfRefMismatch(RuntimeError):
+    pass
+
+
+def build_snp_dict_from_vcf(
+    seqs: List[Seq], vcf_path: str, aux_cols: int = AUX_TABLE_COLS_DEF
+) -> Tuple[SnpDict, np.ndarray]:
+    """Build the SNP dictionary from a VCF (src/dictgen.c:561-785).
+
+    Returns (SnpDict, snp_locations bool array) where snp_locations[loc] is
+    True for every retained SNP's 1-based global position (used by `filt`).
+
+    Per VCF data row, in order:
+      - REF base must encode to A/C/G/T (BASE_X skip, src/dictgen.c:637);
+      - REF and ALT columns must be single characters (641-652);
+      - chromosome matched by dict-style name, with 'chr' prefixed when the
+        FASTA names start with 'c' and the VCF name doesn't (596-633);
+      - genome base at POS must equal REF (normalized uppercase) else the
+        whole build fails (666-672);
+      - POS must admit 32 covering k-mers (674);
+      - ALT must be A/C/G/T and differ from REF (684-696, 747-749);
+      - CAF= allele freqs parsed with cross-line persistence (707-735);
+      - the 32 alt-substituted k-mers are generated by one left-flank encode
+        plus 32 rolling shifts, aborting the row when any base is N (753-772).
+    """
+    normalized = {}  # chrom name -> uint8 codes cache
+
+    def norm_codes(s: Seq) -> np.ndarray:
+        r = normalized.get(id(s))
+        if r is None:
+            r = s.codes_normalized()
+            normalized[id(s)] = r
+        return r
+
+    kmer_rows = []
+    pos_rows = []
+    snp_rows = []
+    rf_rows = []
+    af_rows = []
+    snp_locs: List[int] = []
+
+    ref_has_chr = bool(seqs) and seqs[0].name.startswith("c")
+    caf = CafExtractor()
+    chrom: Seq | None = None
+    chrom_start = 1
+    base_code = {"A": 0, "C": 1, "G": 2, "T": 3, "N": 4}
+
+    shifts = np.arange(32, dtype=np.uint64) * np.uint64(2)
+
+    for row in iter_vcf_rows(vcf_path):
+        chrom_name = row.chrom
+        if not chrom_name.startswith("c") and ref_has_chr:
+            chrom_name = "chr" + chrom_name
+
+        ref_ch = row.ref[:1].upper()
+        ref_u = base_code.get(ref_ch, BASE_X)
+        if ref_u == BASE_X:
+            continue
+        if len(row.ref) != 1 or len(row.alt) != 1:
+            # single-base check via the char after the field (641-652)
+            continue
+
+        if chrom is None or chrom.name != chrom_name:
+            chrom, chrom_start = _find_seq_by_name(seqs, chrom_name)
+            if chrom is None:
+                continue
+
+        index = row.pos1 - 1  # 0-based within chromosome
+        codes = norm_codes(chrom)
+        # genome base (normalized to ACGTN) must equal the REF base; any
+        # mismatch aborts the whole build (src/dictgen.c:666-672)
+        if index >= chrom.size or int(codes[index]) != ref_u:
+            raise VcfRefMismatch(
+                f"Mismatch between reference and SNP file at 0-based "
+                f"index {index} in {chrom.name}")
+        if index < 32 or (index + 32) > chrom.size:
+            continue
+
+        alt_ch = row.alt[:1].upper()
+        if ref_ch not in "ACGT":
+            continue  # e.g. REF=N passed the X-check but fails here (686)
+        if alt_ch not in "ACGT":
+            continue
+        # a1 == ref always here; mark the SNP location (698-705)
+        snp_locs.append(chrom_start + index)
+
+        f1, f2 = caf.extract(row.info)
+        rf_enc = encode_freq(f1)
+        af_enc = encode_freq(f2)
+
+        if alt_ch == ref_ch:
+            continue
+
+        window = codes[index - 32 : index + 32].copy()
+        if (window[:32] > 3).any():
+            continue  # left flank k-mer had N (755-758)
+        window[32] = base_code[alt_ch]
+        if (window[32:] > 3).any():
+            continue  # any N inside the covering window aborts the row
+        # 32 covering k-mers: windows starting at offsets 1..32
+        w = window.astype(np.uint64)
+        kk = np.zeros(32, dtype=np.uint64)
+        for j in range(32):
+            kk |= (w[1 + j : 33 + j] & np.uint64(3)) << shifts[j]
+        i_arr = np.arange(32, dtype=np.uint32)
+        kmer_rows.append(kk)
+        pos_rows.append(np.uint32(chrom_start + index - 32 + 1) + i_arr)
+        snp_rows.append(((np.uint32(31) - i_arr) << np.uint32(3) |
+                         np.uint32(ref_u)).astype(np.uint8))
+        rf_rows.append(np.full(32, rf_enc, np.uint8))
+        af_rows.append(np.full(32, af_enc, np.uint8))
+
+    if kmer_rows:
+        kmers = np.concatenate(kmer_rows)
+        pos = np.concatenate(pos_rows)
+        snp = np.concatenate(snp_rows)
+        rf = np.concatenate(rf_rows)
+        af = np.concatenate(af_rows)
+    else:
+        kmers = np.zeros(0, np.uint64)
+        pos = np.zeros(0, np.uint32)
+        snp = rf = af = np.zeros(0, np.uint8)
+
+    order = np.argsort(kmers, kind="stable")
+    kmers, pos, snp, rf, af = (a[order] for a in (kmers, pos, snp, rf, af))
+
+    uniq, first, counts, pos_or_aux, flag, has_aux = _group_ambiguity(
+        kmers, aux_cols)
+    single = counts == 1
+    safe_first = np.minimum(first, max(len(pos) - 1, 0))
+    out_pos = np.where(single, pos[safe_first] if len(pos) else 0,
+                       pos_or_aux).astype(np.uint32)
+    out_snp = np.where(single, snp[safe_first] if len(snp) else 0,
+                       0).astype(np.uint8)
+    out_rf = np.where(single, rf[safe_first] if len(rf) else 0,
+                      0).astype(np.uint8)
+    out_af = np.where(single, af[safe_first] if len(af) else 0,
+                      0).astype(np.uint8)
+
+    aux_pos = _aux_rows(first, counts, has_aux, pos, aux_cols, np.uint32)
+    aux_snp = _aux_rows(first, counts, has_aux, snp, aux_cols, np.uint8)
+    aux_rf = _aux_rows(first, counts, has_aux, rf, aux_cols, np.uint8)
+    aux_af = _aux_rows(first, counts, has_aux, af, aux_cols, np.uint8)
+    aux_kmer = uniq[has_aux]
+
+    locs = np.zeros(max(snp_locs) + 1 if snp_locs else 10, dtype=bool)
+    for l in snp_locs:
+        locs[l] = True
+
+    return (
+        SnpDict(kmers=uniq, pos=out_pos, snp=out_snp, flag=flag,
+                ref_freq=out_rf, alt_freq=out_af, aux_kmer=aux_kmer,
+                aux_pos=aux_pos, aux_snp=aux_snp, aux_rf=aux_rf,
+                aux_af=aux_af),
+        locs,
+    )

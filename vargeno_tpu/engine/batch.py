@@ -1,0 +1,649 @@
+"""The batched TPU genotyping engine.
+
+Re-architects the reference's per-read sequential loop (src/qv.ccc:760-1558)
+as a fixed-shape data-parallel pipeline over B reads x K k-mers:
+
+  encode -> exact lookups -> low-quality k-mer compaction -> neighbor probe
+  grid -> probe-hit compaction -> aux/event expansion into an ordered
+  (B, E) event buffer -> sequential vote scan (exact reference semantics)
+  -> orientation select -> agreeing-context compaction -> pileup scatter.
+
+Everything is masked dense ops; per-batch "overflow" counters report any
+truncation against the reference's unbounded (or 2000-capped) buffers so
+tests can assert zero divergence.
+
+Event ORDER inside a read reproduces the reference exactly: per k-mer, the
+exact ref hit(s), the exact snp hit(s), then (quality-gated) the lo-half
+neighbor events (small-block Hamming scans of the ref then snp jumpgate
+blocks, qv.cc:1110-1209, or the big-block 96-probe enumeration,
+qv.cc:962-1108) and the hi-half probe events (qv.cc:1213-1365), because the
+vote state machine (improved_index_table_add, qv.cc:132-178) is
+order-sensitive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GenoConfig, NO_MODIFICATION, POS_AMBIGUOUS
+from ..core import hashes
+from . import search
+from .device_index import DeviceIndex
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+_NO_MOD = jnp.int32(NO_MODIFICATION)
+_POS_AMBIG = jnp.uint32(POS_AMBIGUOUS)
+
+
+def _ctz32(x):
+    """Count trailing zeros of uint32 (0 -> 32)."""
+    return jnp.where(
+        x == 0, jnp.int32(32),
+        jax.lax.population_count((x & (~x + U32(1))) - U32(1)).astype(I32))
+
+
+def encode_batch(codes, n_kmers, K: int):
+    """codes (B, L) u8 -> kmer (hi, lo) (B, K) u32 + validity.
+
+    A read whose first n_kmers*32 bases contain any non-ACGT code is dropped
+    entirely (src/qv.cc:812-828: N aborts the orientation AND the read).
+    Returns (hi, lo, kmer_valid (B,K), read_ok (B,))."""
+    B = codes.shape[0]
+    win = codes[:, : K * 32].reshape(B, K, 32)
+    shifts = jnp.arange(16, dtype=U32) * 2
+    c = win.astype(U32)
+    lo = jnp.sum(jnp.where(win[..., :16] <= 3, c[..., :16], 0) << shifts,
+                 axis=-1, dtype=U32)
+    hi = jnp.sum(jnp.where(win[..., 16:] <= 3, c[..., 16:], 0) << shifts,
+                 axis=-1, dtype=U32)
+    slot = jnp.arange(K, dtype=I32)[None, :]
+    in_read = slot < n_kmers[:, None]
+    win_bad = jnp.any(win > 3, axis=-1)
+    read_ok = ~jnp.any(win_bad & in_read, axis=-1)
+    kmer_valid = in_read & read_ok[:, None]
+    return hi, lo, kmer_valid, read_ok
+
+
+@dataclasses.dataclass
+class _Shapes:
+    B: int
+    K: int
+    E: int
+    C: int
+    NI: int   # neighbor work items
+    H: int    # compacted probe hits per item
+    A: int    # agreeing contexts per read
+    S: int = 100  # block-scan slots (BLOCK_SIZE_THRESHOLD)
+
+
+def _mutate_pair(hi, lo, base_idx, j):
+    """Mutate string base `base_idx` (0..31, traced) to code j."""
+    is_lo = base_idx < 16
+    sh_lo = (2 * base_idx).astype(U32)
+    sh_hi = (2 * (base_idx - 16)).astype(U32)
+    new_lo = jnp.where(
+        is_lo, (lo & ~(U32(3) << sh_lo)) | (j.astype(U32) << sh_lo), lo)
+    new_hi = jnp.where(
+        is_lo, hi, (hi & ~(U32(3) << sh_hi)) | (j.astype(U32) << sh_hi))
+    return new_hi, new_lo
+
+
+def _get_base(hi, lo, i):
+    """Base code at traced string index i (int32)."""
+    use_hi = i >= 16
+    sh = jnp.where(use_hi, 2 * (i - 16), 2 * i).astype(U32)
+    word = jnp.where(use_hi, hi, lo)
+    return ((word >> sh) & U32(3)).astype(jnp.uint8)
+
+
+def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
+                         return_debug: bool = False):
+    """Build the jitted per-batch step.
+
+    step(codes(B,L)u8, n_kmers(B,)i32, qual(B,K)u8, ref_cnt(s,), alt_cnt(s,))
+      -> (ref_cnt', alt_cnt', stats)  [+ debug dict when return_debug]
+
+    The index arrays are threaded through jit as a pytree argument (NOT
+    captured constants -- a 1.2 GB Bloom filter must not be baked into the
+    HLO).
+    """
+    host_dix = dix
+    cfg = config
+    sh = _Shapes(
+        B=cfg.batch_reads, K=cfg.max_kmers_per_read, E=cfg.events_per_read,
+        C=cfg.candidates_per_read,
+        NI=max(8, int(cfg.batch_reads * cfg.max_kmers_per_read
+                      * cfg.neighbor_item_frac)),
+        H=cfg.probe_hit_cap, A=cfg.agree_cap)
+    stride_bug = cfg.replicate_stride_bug
+
+    n_ref = dix.n_ref
+    n_snp = dix.n_snp
+
+    # ---- probe slot geometry (order matters; see module docstring) ----
+    # lo region: small-block ref scan S slots, then snp scan S slots,
+    # then big-block (base, j, kind) 16*4*2 slots; hi region 16*4*2 slots.
+    S = sh.S
+    P_SMALL = 2 * S          # 0..199
+    P_BIGLO = 16 * 4 * 2     # 200..327
+    P_HI = 16 * 4 * 2        # 328..455
+    P2 = P_SMALL + P_BIGLO + P_HI
+
+    def ref_exact(q_hi, q_lo):
+        return search.exact_query(dix.ref_hi, dix.ref_lo, q_hi, q_lo)
+
+    def snp_exact(q_hi, q_lo):
+        return search.exact_query(dix.snp_hi, dix.snp_lo, q_hi, q_lo)
+
+    def take(arr, idx):
+        return jnp.take(arr, idx, axis=0, mode="clip")
+
+    # ------------------------------------------------------------------
+    def neighbor_probes(it_hi, it_lo, it_valid):
+        """All neighbor probes for NI work items.
+
+        Returns per-(NI, P2): hit, is_ref kind, row, nb_hi, nb_lo, diff,
+        plus per-item snp block overflow count."""
+        NI = it_hi.shape[0]
+        blo, bhi = search.block_bounds_hi32(dix.ref_hi, dix.ref_lo, it_hi)
+        bsize = bhi - blo
+        big = bsize >= jnp.int32(S)
+        slo, shi = search.block_bounds_hi24(
+            dix.snp_hi, dix.snp_lo, it_hi >> 8)
+        ssize = shi - slo
+
+        # Bloom-filter pruning (qv.cc:946-956)
+        ref_bit = hashes.hash32(it_lo)
+        ref_hit_bf = search.bitmap_test(dix.ref_bf, ref_bit)
+        snp_bit = hashes.snp_bf_bit(it_hi & U32(0xFF), it_lo,
+                                    dix.snp_bf_bits)
+        snp_hit_bf = search.bitmap_test(dix.snp_bf, snp_bit)
+        ref_bound = jnp.where(ref_hit_bf, 64, 32)
+        snp_bound = jnp.where(snp_hit_bf, 64, 40)
+
+        outs = []  # list of (hit, is_ref, row, nb_hi, nb_lo, diff), (NI, p)
+
+        # --- small-block ref Hamming scan (qv.cc:1124-1174 via 316-376) ---
+        j = jnp.arange(S, dtype=I32)[None, :]           # (1, S)
+        meta_row = blo[:, None] + j                      # (NI, S)
+        stride = 9 if stride_bug else 1
+        tidx = blo[:, None] + stride * j
+        in_dict = tidx < n_ref
+        test_lo = jnp.where(in_dict, take(dix.ref_lo, tidx), U32(0))
+        x = it_lo[:, None] ^ test_lo
+        tz = _ctz32(x)
+        k2 = tz >> 1
+        sh2 = jnp.minimum(2 * k2, 31).astype(U32)
+        ok = (x != 0) & ((x >> sh2) <= 3)
+        active = it_valid[:, None] & ~big[:, None] & (j < bsize[:, None])
+        outs.append((active & ok,
+                     jnp.ones((NI, S), bool),
+                     meta_row,
+                     jnp.broadcast_to(it_hi[:, None], (NI, S)),
+                     test_lo,
+                     k2))
+
+        # --- small-block snp Hamming scan (qv.cc:1176-1208 via 413-463) ---
+        stride_s = 11 if stride_bug else 1
+        meta_row_s = slo[:, None] + j
+        tidx_s = slo[:, None] + stride_s * j
+        in_dict_s = tidx_s < n_snp
+        e_lo = jnp.where(in_dict_s, take(dix.snp_lo, tidx_s), U32(0))
+        e_hi8 = jnp.where(in_dict_s, take(dix.snp_hi, tidx_s) & U32(0xFF),
+                          U32(0))
+        xlo = it_lo[:, None] ^ e_lo
+        xhi8 = (it_hi[:, None] & U32(0xFF)) ^ e_hi8
+        tz40 = jnp.where(xlo != 0, _ctz32(xlo), 32 + _ctz32(xhi8))
+        k2s = tz40 >> 1
+        sh_lo = jnp.clip(2 * k2s, 0, 31).astype(U32)
+        sh_hi = jnp.clip(2 * k2s - 32, 0, 31).astype(U32)
+        ok_lo = (xhi8 == 0) & ((xlo >> sh_lo) <= 3)
+        ok_hi = (xlo == 0) & ((xhi8 >> sh_hi) <= 3)
+        oks = jnp.where(tz40 < 32, ok_lo, ok_hi) & ((xlo | xhi8) != 0)
+        active_s = it_valid[:, None] & ~big[:, None] & (j < ssize[:, None])
+        outs.append((active_s & oks,
+                     jnp.zeros((NI, S), bool),
+                     meta_row_s,
+                     (it_hi[:, None] & U32(0xFFFFFF00)) | e_hi8,
+                     e_lo,
+                     k2s))
+        snp_scan_overflow = jnp.sum(
+            jnp.maximum(jnp.where(it_valid & ~big, ssize, 0) - S, 0))
+
+        # --- big-block lo-half enumeration (qv.cc:965-1108) ---
+        bases = jnp.arange(16, dtype=I32)
+        jj = jnp.arange(4, dtype=I32)
+        bgrid = jnp.repeat(bases, 4)[None, :]            # (1, 64) base idx
+        jgrid = jnp.tile(jj, 16)[None, :]                # (1, 64)
+        cur = ((it_lo[:, None] >> (2 * bgrid).astype(U32)) & U32(3))
+        act_bl = it_valid[:, None] & big[:, None] & (jgrid != cur.astype(I32))
+        nb_lo_big = ((it_lo[:, None] & ~(U32(3) << (2 * bgrid).astype(U32)))
+                     | (jgrid.astype(U32) << (2 * bgrid).astype(U32)))
+        nb_hi_big = jnp.broadcast_to(it_hi[:, None], nb_lo_big.shape)
+        r_row, r_hit = ref_exact(nb_hi_big, nb_lo_big)
+        s_row, s_hit = snp_exact(nb_hi_big, nb_lo_big)
+        # interleave ref/snp per (base, j): stack on a new trailing axis
+        def interleave(a_ref, a_snp):
+            return jnp.stack([a_ref, a_snp], axis=-1).reshape(
+                a_ref.shape[0], -1)
+        outs.append((interleave(act_bl & r_hit, act_bl & s_hit),
+                     interleave(jnp.ones_like(act_bl),
+                                jnp.zeros_like(act_bl)),
+                     interleave(r_row, s_row),
+                     interleave(nb_hi_big, nb_hi_big),
+                     interleave(nb_lo_big, nb_lo_big),
+                     interleave(bgrid + 0 * r_row, bgrid + 0 * s_row)))
+
+        # --- hi-half probes (qv.cc:1213-1365) ---
+        bgrid_h = bgrid + 16                              # bases 16..31
+        bitpos = 2 * bgrid_h                              # 32..62
+        cur_h = ((it_hi[:, None] >> (2 * bgrid).astype(U32)) & U32(3))
+        base_ok = jgrid != cur_h.astype(I32)
+        nb_hi_h = ((it_hi[:, None] & ~(U32(3) << (2 * bgrid).astype(U32)))
+                   | (jgrid.astype(U32) << (2 * bgrid).astype(U32)))
+        nb_lo_h = jnp.broadcast_to(it_lo[:, None], nb_hi_h.shape)
+        act_ref = (it_valid[:, None] & base_ok
+                   & (bitpos < ref_bound[:, None]))
+        act_snp = (it_valid[:, None] & base_ok
+                   & (big[:, None] | (bitpos >= 40))
+                   & (bitpos < snp_bound[:, None]))
+        rh_row, rh_hit = ref_exact(nb_hi_h, nb_lo_h)
+        sh_row, sh_hit = snp_exact(nb_hi_h, nb_lo_h)
+        outs.append((interleave(act_ref & rh_hit, act_snp & sh_hit),
+                     interleave(jnp.ones_like(act_ref),
+                                jnp.zeros_like(act_snp)),
+                     interleave(rh_row, sh_row),
+                     interleave(nb_hi_h, nb_hi_h),
+                     interleave(nb_lo_h, nb_lo_h),
+                     interleave(bgrid_h + 0 * rh_row, bgrid_h + 0 * sh_row)))
+
+        cat = lambda i: jnp.concatenate([o[i] for o in outs], axis=1)
+        hit, is_ref, row, nb_hi, nb_lo, diff = (cat(i) for i in range(6))
+        return hit, is_ref, row, nb_hi, nb_lo, diff, snp_scan_overflow
+
+    # ------------------------------------------------------------------
+    def expand_probe_events(p_is_ref, p_row, p_nb_hi, p_nb_lo, p_diff,
+                            p_valid):
+        """(NI, H) compacted probe hits -> (NI, H, 10) candidate events.
+
+        Returns kmer_pos (u32), validity, per fields shared across cols:
+        everything else (nb kmer, diff) is per-probe."""
+        pos_ref = take(dix.ref_pos, p_row)
+        pos_snp = take(dix.snp_pos, p_row)
+        flag_ref = take(dix.ref_flag, p_row)
+        flag_snp = take(dix.snp_flag, p_row)
+        info_snp = take(dix.snp_info, p_row)
+        pos = jnp.where(p_is_ref, pos_ref, pos_snp)
+        flag = jnp.where(p_is_ref, flag_ref, flag_snp)
+        usable = p_valid & (pos != _POS_AMBIG)
+        unamb = flag == 0
+
+        # per-probe aux rows (only meaningful when ambiguous)
+        aux_row = jnp.minimum(pos, U32(max(1, dix.ref_aux.shape[0]) - 1))
+        aux_row_s = jnp.minimum(pos,
+                                U32(max(1, dix.snp_aux_pos.shape[0]) - 1))
+        aux_pos = jnp.where(
+            p_is_ref[..., None],
+            take(dix.ref_aux, aux_row.astype(I32)),
+            take(dix.snp_aux_pos, aux_row_s.astype(I32)))
+        aux_snp = take(dix.snp_aux_snp, aux_row_s.astype(I32))
+
+        col0 = (jnp.arange(10) == 0)
+        # candidate kmer_pos per column
+        kpos = jnp.where(unamb[..., None] & col0, pos[..., None], aux_pos)
+        col_valid = jnp.where(unamb[..., None], col0, aux_pos != 0)
+
+        # neighbor checks (exact probes never reach here)
+        diff_u = p_diff.astype(U32)
+        site_pos_chk = kpos + diff_u[..., None]
+        is_site = search.bitmap_test(dix.site_bitmap, site_pos_chk)
+        snp_off = ((jnp.where(unamb[..., None] & col0,
+                              info_snp[..., None], aux_snp) >> 3)
+                   & 0x1F).astype(I32)
+        check = jnp.where(p_is_ref[..., None], ~is_site,
+                          snp_off != p_diff[..., None])
+        ev_valid = usable[..., None] & col_valid & check
+        return kpos, ev_valid
+
+    # ------------------------------------------------------------------
+    def expand_exact_events(is_ref, row, hit):
+        """(B, K) exact hits -> (B, K, 10) events (no checks)."""
+        if is_ref:
+            pos = take(dix.ref_pos, row)
+            flag = take(dix.ref_flag, row)
+            aux = take(dix.ref_aux,
+                       jnp.minimum(pos, U32(max(1, dix.ref_aux.shape[0])
+                                            - 1)).astype(I32))
+        else:
+            pos = take(dix.snp_pos, row)
+            flag = take(dix.snp_flag, row)
+            aux = take(dix.snp_aux_pos,
+                       jnp.minimum(pos, U32(max(1, dix.snp_aux_pos.shape[0])
+                                            - 1)).astype(I32))
+        usable = hit & (pos != _POS_AMBIG)
+        unamb = flag == 0
+        col0 = (jnp.arange(10) == 0)
+        kpos = jnp.where(unamb[..., None] & col0, pos[..., None], aux)
+        ev_valid = usable[..., None] & jnp.where(unamb[..., None], col0,
+                                                 aux != 0)
+        return kpos, ev_valid
+
+    # ------------------------------------------------------------------
+    def orientation_pass(codes, n_kmers, qual):
+        B, K, E, C, NI, H = sh.B, sh.K, sh.E, sh.C, sh.NI, sh.H
+        hi, lo, kmer_valid, read_ok = encode_batch(codes, n_kmers, K)
+
+        # exact queries for every kmer slot
+        r_row, r_hit = ref_exact(hi, lo)
+        s_row, s_hit = snp_exact(hi, lo)
+        r_hit = r_hit & kmer_valid
+        s_hit = s_hit & kmer_valid
+
+        # exact events (B, K, 10)
+        exr_kpos, exr_valid = expand_exact_events(True, r_row, r_hit)
+        exs_kpos, exs_valid = expand_exact_events(False, s_row, s_hit)
+
+        # ---- neighbor work-item compaction ----
+        lowq = kmer_valid & (qual < jnp.uint8(cfg.quality_score))
+        flat_mask = lowq.reshape(-1)                       # (B*K,)
+        tgt = jnp.cumsum(flat_mask.astype(I32)) - 1
+        keep = flat_mask & (tgt < NI)
+        ni_overflow = jnp.sum(flat_mask) - jnp.sum(keep)
+        src = jnp.arange(B * K, dtype=I32)
+        item_src = jnp.full(NI, -1, I32)
+        item_src = item_src.at[jnp.where(keep, tgt, NI)].set(
+            src, mode="drop")
+        it_ok = item_src >= 0
+        it_b = jnp.where(it_ok, item_src // K, 0)
+        it_k = jnp.where(it_ok, item_src % K, 0)
+        it_hi = hi[it_b, it_k]
+        it_lo = lo[it_b, it_k]
+
+        (p_hit, p_is_ref, p_row, p_nb_hi, p_nb_lo, p_diff,
+         snp_scan_ovf) = neighbor_probes(it_hi, it_lo, it_ok)
+
+        # ---- probe-hit compaction (NI, P2) -> (NI, H) ----
+        ptgt = jnp.cumsum(p_hit.astype(I32), axis=1) - 1
+        pkeep = p_hit & (ptgt < H)
+        ph_overflow = jnp.sum(p_hit) - jnp.sum(pkeep)
+        flat_rows = jnp.arange(NI)[:, None]
+        scat = jnp.where(pkeep, ptgt, H)
+
+        def compact(a, fill):
+            out = jnp.full((NI, H + 1), fill, a.dtype)
+            out = out.at[flat_rows, scat].set(a, mode="drop")
+            return out[:, :H]
+
+        c_valid = compact(pkeep, False)
+        c_is_ref = compact(p_is_ref, False)
+        c_row = compact(p_row, 0)
+        c_nb_hi = compact(p_nb_hi, U32(0))
+        c_nb_lo = compact(p_nb_lo, U32(0))
+        c_diff = compact(p_diff, 0)
+
+        nb_kpos, nb_valid = expand_probe_events(
+            c_is_ref, c_row.astype(I32), c_nb_hi, c_nb_lo, c_diff, c_valid)
+
+        # ---- event assembly into ordered (B, E) buffer ----
+        # group counts per (b): [exr_k, exs_k, nb_k] for k in 0..K-1
+        exr_n = jnp.sum(exr_valid, axis=-1)                # (B, K)
+        exs_n = jnp.sum(exs_valid, axis=-1)
+        nb_n_item = jnp.sum(nb_valid, axis=(1, 2))         # (NI,)
+        nb_n_flat = jnp.zeros(B * K, I32).at[
+            jnp.where(it_ok, item_src, B * K)].set(
+                nb_n_item.astype(I32), mode="drop")
+        nb_n = nb_n_flat.reshape(B, K)
+        groups = jnp.stack([exr_n, exs_n, nb_n], axis=-1).reshape(B, 3 * K)
+        goff = jnp.cumsum(groups, axis=-1) - groups        # exclusive
+        ev_total = jnp.sum(groups, axis=-1)
+        ev_overflow = jnp.sum(jnp.maximum(ev_total - E, 0))
+
+        # flat event buffer (B*(E+1)) with dump slot E per read
+        def ev_buffers():
+            return dict(
+                idx=jnp.zeros((B, E + 1), U32),
+                kpos=jnp.zeros((B, E + 1), U32),
+                nbhi=jnp.zeros((B, E + 1), U32),
+                nblo=jnp.zeros((B, E + 1), U32),
+                modif=jnp.full((B, E + 1), _NO_MOD, I32),
+                k=jnp.zeros((B, E + 1), I32),
+                isnb=jnp.zeros((B, E + 1), bool),
+                valid=jnp.zeros((B, E + 1), bool),
+            )
+
+        buf = ev_buffers()
+        rows_b = jnp.arange(B)[:, None, None]
+
+        def scatter_group(buf, kpos, valid, group_idx, nbhi, nblo, modif,
+                          isnb, kslot):
+            # rank within the (B, K, 10) group
+            rank = jnp.cumsum(valid, axis=-1) - 1
+            base = jnp.take_along_axis(goff, group_idx, axis=-1)  # (B, K)
+            e = base[..., None] + rank
+            e = jnp.where(valid & (e < E), e, E)
+            buf["idx"] = buf["idx"].at[rows_b, e].set(
+                kpos - (kslot * 32).astype(U32)[..., None], mode="drop")
+            buf["kpos"] = buf["kpos"].at[rows_b, e].set(kpos, mode="drop")
+            buf["nbhi"] = buf["nbhi"].at[rows_b, e].set(
+                jnp.broadcast_to(nbhi[..., None], kpos.shape), mode="drop")
+            buf["nblo"] = buf["nblo"].at[rows_b, e].set(
+                jnp.broadcast_to(nblo[..., None], kpos.shape), mode="drop")
+            buf["modif"] = buf["modif"].at[rows_b, e].set(
+                jnp.broadcast_to(modif[..., None], kpos.shape), mode="drop")
+            buf["k"] = buf["k"].at[rows_b, e].set(
+                jnp.broadcast_to(kslot[..., None], kpos.shape), mode="drop")
+            buf["isnb"] = buf["isnb"].at[rows_b, e].set(
+                jnp.broadcast_to(jnp.asarray(isnb), kpos.shape), mode="drop")
+            buf["valid"] = buf["valid"].at[rows_b, e].set(valid, mode="drop")
+            return buf
+
+        kslot_arr = jnp.broadcast_to(jnp.arange(K, dtype=I32)[None, :],
+                                     (B, K))
+        g_exr = jnp.broadcast_to((3 * jnp.arange(K))[None, :], (B, K))
+        g_exs = g_exr + 1
+        buf = scatter_group(buf, exr_kpos, exr_valid, g_exr, hi, lo,
+                            jnp.full((B, K), _NO_MOD), False, kslot_arr)
+        buf = scatter_group(buf, exs_kpos, exs_valid, g_exs, hi, lo,
+                            jnp.full((B, K), _NO_MOD), False, kslot_arr)
+
+        # neighbor events: (NI, H, 10); within-item order = (probe, col)
+        nb_rank = (jnp.cumsum(nb_valid.reshape(NI, -1), axis=-1) - 1)
+        nb_base = goff[it_b, 3 * it_k + 2]                  # (NI,)
+        e_nb = nb_base[:, None] + nb_rank                   # (NI, H*10)
+        v_nb = nb_valid.reshape(NI, -1)
+        e_nb = jnp.where(v_nb & (e_nb < E), e_nb, E)
+        b_nb = jnp.broadcast_to(it_b[:, None], e_nb.shape)
+
+        def nb_field(a):   # (NI, H) -> (NI, H*10)
+            return jnp.broadcast_to(a[..., None],
+                                    a.shape + (10,)).reshape(NI, -1)
+
+        kpos_nb = nb_kpos.reshape(NI, -1)
+        off_nb = nb_field(
+            jnp.broadcast_to((it_k * 32)[:, None], (NI, H))).astype(U32)
+        buf["idx"] = buf["idx"].at[b_nb, e_nb].set(
+            kpos_nb - off_nb, mode="drop")
+        buf["kpos"] = buf["kpos"].at[b_nb, e_nb].set(kpos_nb, mode="drop")
+        buf["nbhi"] = buf["nbhi"].at[b_nb, e_nb].set(
+            nb_field(c_nb_hi), mode="drop")
+        buf["nblo"] = buf["nblo"].at[b_nb, e_nb].set(
+            nb_field(c_nb_lo), mode="drop")
+        buf["modif"] = buf["modif"].at[b_nb, e_nb].set(
+            nb_field(c_diff), mode="drop")
+        buf["k"] = buf["k"].at[b_nb, e_nb].set(
+            nb_field(jnp.broadcast_to(it_k[:, None], (NI, H))), mode="drop")
+        buf["isnb"] = buf["isnb"].at[b_nb, e_nb].set(True, mode="drop")
+        buf["valid"] = buf["valid"].at[b_nb, e_nb].set(v_nb, mode="drop")
+
+        # drop the dump column
+        buf = {k: v[:, :E] for k, v in buf.items()}
+
+        # ---- vote scan (improved_index_table_add, qv.cc:132-178) ----
+        cand_idx = jnp.zeros((B, C), U32)
+        cand_freq = jnp.zeros((B, C), I32)
+        cand_kmask = jnp.zeros((B, C), U32)
+        n_cand = jnp.zeros(B, I32)
+        best = jnp.full(B, -1, I32)
+        amb = jnp.zeros(B, bool)
+        cand_ovf = jnp.zeros((), I32)
+
+        carry = (cand_idx, cand_freq, cand_kmask, n_cand, best, amb,
+                 cand_ovf)
+        ev_seq = tuple(jnp.moveaxis(buf[f], 1, 0)
+                       for f in ("idx", "k", "isnb", "valid"))
+
+        def vote_step(carry, ev):
+            (cidx, cfreq, ckm, ncand, best, amb, covf) = carry
+            e_idx, e_k, e_isnb, e_val = ev
+            used = jnp.arange(C)[None, :] < ncand[:, None]
+            match = used & (cidx == e_idx[:, None])
+            found = jnp.any(match, axis=1)
+            fslot = jnp.argmax(match, axis=1).astype(I32)
+            accept = e_val & (found | ~e_isnb)
+            can_ins = ncand < C
+            insert = accept & ~found
+            slot = jnp.where(found, fslot, jnp.minimum(ncand, C - 1))
+            eff = accept & (found | can_ins)
+            onehot = (jnp.arange(C)[None, :] == slot[:, None]) & eff[:, None]
+            cidx = jnp.where(onehot, e_idx[:, None], cidx)
+            cfreq = cfreq + onehot.astype(I32)
+            ckm = ckm | jnp.where(
+                onehot, U32(1) << e_k[:, None].astype(U32), U32(0))
+            ncand = ncand + (insert & can_ins).astype(I32)
+            covf = covf + jnp.sum(insert & ~can_ins)
+
+            elig = jax.lax.population_count(
+                ckm[jnp.arange(B), slot]).astype(I32) >= 2
+            upd = eff & elig
+            has_best = best >= 0
+            bslot = jnp.maximum(best, 0)
+            bf = jnp.where(has_best, cfreq[jnp.arange(B), bslot], 0)
+            f = cfreq[jnp.arange(B), slot]
+            new_best = jnp.where(
+                ~has_best, slot,
+                jnp.where(slot == best, best,
+                          jnp.where(f > bf, slot, best)))
+            new_amb = jnp.where(
+                ~has_best, False,
+                jnp.where(slot == best, False,
+                          jnp.where(f == bf, True,
+                                    jnp.where(f > bf, False, amb))))
+            best = jnp.where(upd, new_best, best)
+            amb = jnp.where(upd, new_amb, amb)
+            return (cidx, cfreq, ckm, ncand, best, amb, covf), None
+
+        carry, _ = jax.lax.scan(vote_step, carry, ev_seq)
+        (cand_idx, cand_freq, cand_kmask, n_cand, best, amb, cand_ovf) = carry
+
+        has_best = best >= 0
+        bslot = jnp.maximum(best, 0)
+        best_freq = jnp.where(has_best, cand_freq[jnp.arange(B), bslot], 0)
+        target = jnp.where(has_best, cand_idx[jnp.arange(B), bslot], U32(0))
+        process = has_best & (best_freq > 1) & ~amb
+
+        stats = dict(ni_overflow=ni_overflow, probe_overflow=ph_overflow,
+                     event_overflow=ev_overflow, cand_overflow=cand_ovf,
+                     snp_scan_overflow=snp_scan_ovf)
+        return dict(buf=buf, process=process, target=target,
+                    read_ok=read_ok, stats=stats)
+
+    # ------------------------------------------------------------------
+    def pileup_accumulate(buf, use_mask, target, ref_cnt, alt_cnt):
+        """Scatter agreeing contexts into per-site counts
+        (qv.cc:1382-1502)."""
+        B, E, A = sh.B, sh.E, sh.A
+        agree = buf["valid"] & use_mask[:, None] & (buf["idx"]
+                                                    == target[:, None])
+        atgt = jnp.cumsum(agree.astype(I32), axis=1) - 1
+        akeep = agree & (atgt < A)
+        agree_ovf = jnp.sum(agree) - jnp.sum(akeep)
+        rows = jnp.arange(B)[:, None]
+        scat = jnp.where(akeep, atgt, A)
+
+        def compact(a, fill):
+            out = jnp.full((B, A + 1), fill, a.dtype)
+            out = out.at[rows, scat].set(a, mode="drop")
+            return out[:, :A]
+
+        a_valid = compact(akeep, False)
+        a_kpos = compact(buf["kpos"], U32(0))
+        a_nbhi = compact(buf["nbhi"], U32(0))
+        a_nblo = compact(buf["nblo"], U32(0))
+        a_modif = compact(buf["modif"], _NO_MOD)
+
+        i = jnp.arange(32, dtype=I32)[None, None, :]
+        pos = a_kpos[..., None] + i.astype(U32)
+        active = a_valid[..., None] & (i != a_modif[..., None])
+        srow = search.lower_bound(
+            dix.site_pos, jnp.zeros_like(dix.site_pos),
+            pos, jnp.zeros(pos.shape, U32))
+        n_sites = dix.n_sites
+        src = jnp.minimum(srow, max(n_sites - 1, 0))
+        is_site = active & (srow < n_sites) & (take(dix.site_pos, src)
+                                               == pos)
+        base = _get_base(a_nbhi[..., None], a_nblo[..., None], i)
+        sref = take(dix.site_ref, src)
+        salt = take(dix.site_alt, src)
+        add_ref = is_site & (base == sref)
+        add_alt = is_site & ~add_ref & (base == salt)
+        dump = jnp.int32(n_sites)
+        tgt_row = jnp.where(is_site, src, dump).reshape(-1)
+        ref_cnt = ref_cnt.at[tgt_row].add(
+            add_ref.reshape(-1).astype(I32), mode="drop")
+        alt_cnt = alt_cnt.at[tgt_row].add(
+            add_alt.reshape(-1).astype(I32), mode="drop")
+        return ref_cnt, alt_cnt, agree_ovf
+
+    # ------------------------------------------------------------------
+    def step(dix_t, codes, n_kmers, qual, ref_cnt, alt_cnt):
+        # rebind the enclosing `dix` to the traced pytree so every helper
+        # reads traced arrays instead of baking host constants into the HLO
+        nonlocal dix
+        dix = dix_t
+        B, K = sh.B, sh.K
+        fwd = orientation_pass(codes, n_kmers, qual)
+
+        # reverse-complement retry for unprocessed reads (qv.cc:1504-1510).
+        length = (n_kmers * 32).astype(jnp.int32)
+        L = codes.shape[1]
+        ridx = length[:, None] - 1 - jnp.arange(L, dtype=I32)[None, :]
+        rvalid = ridx >= 0
+        g = jnp.take_along_axis(codes, jnp.clip(ridx, 0, L - 1).astype(I32),
+                                axis=1)
+        rc = jnp.where(g < 4, 3 - g, g)
+        rc_codes = jnp.where(rvalid, rc, jnp.uint8(4)).astype(jnp.uint8)
+        rev = orientation_pass(rc_codes, n_kmers, qual)
+
+        use_fwd = fwd["process"]
+        use_rev = ~fwd["process"] & fwd["read_ok"] & rev["process"]
+
+        ref_cnt, alt_cnt, aovf1 = pileup_accumulate(
+            fwd["buf"], use_fwd, fwd["target"], ref_cnt, alt_cnt)
+        ref_cnt, alt_cnt, aovf2 = pileup_accumulate(
+            rev["buf"], use_rev, rev["target"], ref_cnt, alt_cnt)
+
+        stats = {("fwd_" + k): v for k, v in fwd["stats"].items()}
+        stats.update({("rev_" + k): v for k, v in rev["stats"].items()})
+        stats["agree_overflow"] = aovf1 + aovf2
+        stats["n_processed"] = jnp.sum(use_fwd | use_rev)
+        if return_debug:
+            debug = dict(
+                fwd_process=fwd["process"], fwd_target=fwd["target"],
+                rev_process=rev["process"], rev_target=rev["target"],
+                use_fwd=use_fwd, use_rev=use_rev)
+            return ref_cnt, alt_cnt, stats, debug
+        return ref_cnt, alt_cnt, stats
+
+    jitted = jax.jit(step, donate_argnums=(4, 5))
+
+    def run(codes, n_kmers, qual, ref_cnt, alt_cnt):
+        return jitted(host_dix, codes, n_kmers, qual, ref_cnt, alt_cnt)
+
+    return run

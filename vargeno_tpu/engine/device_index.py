@@ -1,0 +1,139 @@
+"""Device-resident index: every dictionary/Bloom/site array as jnp tensors.
+
+K-mers are (hi, lo) uint32 pairs (no 64-bit integers on the TPU vector path;
+see core.kmer). Dictionaries stay sorted by the u64 key, i.e. by (hi, lo)
+lexicographically; jumpgates are unnecessary on TPU -- block bounds come from
+binary search over the same sorted arrays (replacing the reference's 16 GiB
+2^32-entry jumpgate, src/qv.cc:528-584, with O(log n) searches).
+
+The Bloom filters are bit-packed uint32 words (LSB-first), identical bit
+positions to the reference's sdsl bit_vectors.
+
+``site_bitmap`` is a genome-positions bitmap used for the O(1) neighbor
+suppression check (pileup_table[pos].ref/alt != 0, src/qv.cc:990-992);
+``site_pos`` + per-site arrays drive the final scatter/call stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.store import VarGenoIndex
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceIndex:
+    # ref dictionary
+    ref_hi: jax.Array      # (n,) u32
+    ref_lo: jax.Array      # (n,) u32
+    ref_pos: jax.Array     # (n,) u32
+    ref_flag: jax.Array    # (n,) u8
+    ref_aux: jax.Array     # (m, 10) u32
+    # snp dictionary
+    snp_hi: jax.Array
+    snp_lo: jax.Array
+    snp_pos: jax.Array
+    snp_info: jax.Array    # (n,) u8
+    snp_flag: jax.Array
+    snp_aux_pos: jax.Array  # (ms, 10) u32
+    snp_aux_snp: jax.Array  # (ms, 10) u8
+    # Bloom filters (u32 words, LSB-first)
+    ref_bf: jax.Array
+    snp_bf: jax.Array
+    # SNP sites (sorted by position)
+    site_pos: jax.Array    # (s,) u32
+    site_ref: jax.Array    # (s,) u8
+    site_alt: jax.Array    # (s,) u8
+    site_bitmap: jax.Array  # (ceil((max_pos+33)/32),) u32
+    # static metadata
+    snp_bf_bits: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_ref(self) -> int:
+        return self.ref_hi.shape[0]
+
+    @property
+    def n_snp(self) -> int:
+        return self.snp_hi.shape[0]
+
+    @property
+    def n_sites(self) -> int:
+        return self.site_pos.shape[0]
+
+
+def build_device_index(index: VarGenoIndex) -> DeviceIndex:
+    ref_k = index.ref.kmers
+    snp_k = index.snp.kmers
+    sites = index.sites
+
+    max_pos = int(index.ref.pos[index.ref.flag == 0].max(initial=0))
+    if sites.pos.size:
+        max_pos = max(max_pos, int(sites.pos.max()))
+    nbits = max_pos + 33
+    bitmap = np.zeros((nbits + 31) // 32, np.uint32)
+    # only sites with ref != alt suppress (ref==0 && alt==0 is "no snp");
+    # seeded sites always have ref != alt, so every site sets its bit
+    sp = sites.pos.astype(np.int64)
+    np.bitwise_or.at(bitmap, sp >> 5,
+                     (np.uint32(1) << (sp & 31).astype(np.uint32)))
+
+    def u32pair(k):
+        return ((k >> np.uint64(32)).astype(np.uint32),
+                (k & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    ref_hi, ref_lo = u32pair(ref_k)
+    snp_hi, snp_lo = u32pair(snp_k)
+
+    # The engine gathers from these arrays unconditionally; give empty
+    # dictionaries one sentinel row (kmer 0xFF..FF, pos=POS_AMBIGUOUS) that
+    # can never produce an event, and empty aux tables a zero row.
+    def pad1(a, fill):
+        if a.shape[0] == 0:
+            return np.full((1,) + a.shape[1:], fill, a.dtype)
+        return a
+
+    ref_pos_a, ref_flag_a, ref_aux_a = index.ref.pos, index.ref.flag, \
+        index.ref.aux
+    snp_pos_a, snp_info_a, snp_flag_a = (index.snp.pos, index.snp.snp,
+                                         index.snp.flag)
+    snp_aux_pos_a, snp_aux_snp_a = index.snp.aux_pos, index.snp.aux_snp
+    if ref_hi.shape[0] == 0:
+        ref_hi = pad1(ref_hi, 0xFFFFFFFF)
+        ref_lo = pad1(ref_lo, 0xFFFFFFFF)
+        ref_pos_a = pad1(ref_pos_a, 0xFFFFFFFF)
+        ref_flag_a = pad1(ref_flag_a, 1)
+    if snp_hi.shape[0] == 0:
+        snp_hi = pad1(snp_hi, 0xFFFFFFFF)
+        snp_lo = pad1(snp_lo, 0xFFFFFFFF)
+        snp_pos_a = pad1(snp_pos_a, 0xFFFFFFFF)
+        snp_info_a = pad1(snp_info_a, 0)
+        snp_flag_a = pad1(snp_flag_a, 1)
+    ref_aux_a = pad1(ref_aux_a, 0)
+    snp_aux_pos_a = pad1(snp_aux_pos_a, 0)
+    snp_aux_snp_a = pad1(snp_aux_snp_a, 0)
+    site_pos_a = pad1(sites.pos, 0xFFFFFFFF)
+    site_ref_a = pad1(sites.ref, 0)
+    site_alt_a = pad1(sites.alt, 0)
+
+    dev = jax.device_put
+    return DeviceIndex(
+        ref_hi=dev(ref_hi), ref_lo=dev(ref_lo),
+        ref_pos=dev(ref_pos_a), ref_flag=dev(ref_flag_a),
+        ref_aux=dev(ref_aux_a),
+        snp_hi=dev(snp_hi), snp_lo=dev(snp_lo),
+        snp_pos=dev(snp_pos_a), snp_info=dev(snp_info_a),
+        snp_flag=dev(snp_flag_a),
+        snp_aux_pos=dev(snp_aux_pos_a),
+        snp_aux_snp=dev(snp_aux_snp_a),
+        ref_bf=dev(index.ref_bf.as_u32()),
+        snp_bf=dev(index.snp_bf.as_u32()),
+        site_pos=dev(site_pos_a), site_ref=dev(site_ref_a),
+        site_alt=dev(site_alt_a),
+        site_bitmap=dev(bitmap),
+        snp_bf_bits=index.snp_bf.bits,
+    )

@@ -1,0 +1,108 @@
+"""Command-line interface, drop-in compatible with the reference's surface.
+
+  vargeno-tpu index <ref.fa> <snps.vcf> <prefix>
+  vargeno-tpu geno  <prefix> <reads.fq> <snps.vcf> <out.vcf>
+  vargeno-tpu vcfbf <ref.fa> <snps.vcf> <ref.bf> <snp.bf>   (gbf equivalent)
+  vargeno-tpu filt  <prefix> <out_prefix>                   (dict_filt)
+
+(reference dispatch: src/qv.cc:1888-2395; gbf: src/gbf.cc:11-71)
+Extra flags select the native .vgt.npz format and/or the reference's binary
+formats, engine batch shapes, and the stride-bug compatibility toggle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_engine_flags(p):
+    p.add_argument("--batch-reads", type=int, default=4096)
+    p.add_argument("--max-read-len", type=int, default=128)
+    p.add_argument("--no-stride-bug", action="store_true",
+                   help="disable replication of the reference's small-block "
+                        "scan pointer bug (qv.cc:359) - 'intended' behavior")
+
+
+def _config(args):
+    from .config import GenoConfig
+
+    kw = {}
+    if hasattr(args, "batch_reads"):
+        K = max(1, args.max_read_len // 32)
+        kw = dict(batch_reads=args.batch_reads,
+                  max_read_len=args.max_read_len,
+                  max_kmers_per_read=K,
+                  replicate_stride_bug=not args.no_stride_bug)
+    return GenoConfig(**kw)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vargeno-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index", help="build dictionaries + Bloom filters")
+    p.add_argument("ref_fasta")
+    p.add_argument("snp_vcf")
+    p.add_argument("prefix")
+    p.add_argument("--reference-format", action="store_true",
+                   help="also write the reference's .dict/.bf binary formats")
+
+    p = sub.add_parser("geno", help="genotype reads")
+    p.add_argument("prefix")
+    p.add_argument("reads_fq")
+    p.add_argument("snp_vcf")
+    p.add_argument("out_vcf")
+    _add_engine_flags(p)
+
+    p = sub.add_parser("vcfbf", help="build Bloom filters only (gbf vcf)")
+    p.add_argument("ref_fasta")
+    p.add_argument("snp_vcf")
+    p.add_argument("ref_bf")
+    p.add_argument("snp_bf")
+
+    p = sub.add_parser("filt", help="shrink ref dict to SNP-proximal k-mers")
+    p.add_argument("prefix")
+    p.add_argument("out_prefix")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "index":
+        from .index.build import build_index
+
+        build_index(args.ref_fasta, args.snp_vcf, args.prefix,
+                    write_reference_format=args.reference_format)
+        return 0
+
+    if args.cmd == "geno":
+        from .engine.geno import run_geno
+
+        run_geno(args.prefix, args.reads_fq, args.snp_vcf, args.out_vcf,
+                 _config(args))
+        return 0
+
+    if args.cmd == "vcfbf":
+        from .config import DEFAULT_CONFIG as cfg
+        from .index import bloom, store
+        from .io import fasta as fasta_io
+
+        seqs = fasta_io.parse_fasta(args.ref_fasta)
+        ref_bf, lite = bloom.build_ref_bfs(seqs, cfg.ref_bf_bits,
+                                           cfg.ref_lite_bf_bits)
+        snp_bf = bloom.build_snp_bf(seqs, args.snp_vcf, cfg.snp_bf_bits)
+        store.write_sdsl_bf(args.ref_bf, ref_bf)
+        store.write_sdsl_bf(args.ref_bf + ".lite.bf", lite)
+        store.write_sdsl_bf(args.snp_bf, snp_bf)
+        return 0
+
+    if args.cmd == "filt":
+        from .index import filt
+
+        filt.filt_prefix(args.prefix, args.out_prefix)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,1 +1,1 @@
-from . import bloom, build, dictgen, store  # noqa: F401
+from . import bloom, build, dictgen, filt, store  # noqa: F401

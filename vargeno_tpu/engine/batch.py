@@ -161,6 +161,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         # Bloom-filter pruning (qv.cc:946-956)
         ref_bit = hashes.hash32(it_lo)
+        if dix.ref_bf_bits < (1 << 32):  # identity at reference geometry
+            ref_bit = ref_bit % U32(dix.ref_bf_bits)
         ref_hit_bf = search.bitmap_test(dix.ref_bf, ref_bit)
         snp_bit = hashes.snp_bf_bit(it_hi & U32(0xFF), it_lo,
                                     dix.snp_bf_bits)
@@ -646,4 +648,6 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
     def run(codes, n_kmers, qual, ref_cnt, alt_cnt):
         return jitted(host_dix, codes, n_kmers, qual, ref_cnt, alt_cnt)
 
+    run.raw = step          # unjitted (dix, codes, ...) for shard_map use
+    run.shapes = sh
     return run

@@ -52,6 +52,7 @@ class DeviceIndex:
     site_bitmap: jax.Array  # (ceil((max_pos+33)/32),) u32
     # static metadata
     snp_bf_bits: int = dataclasses.field(metadata=dict(static=True))
+    ref_bf_bits: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_ref(self) -> int:
@@ -136,4 +137,5 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
         site_alt=dev(site_alt_a),
         site_bitmap=dev(bitmap),
         snp_bf_bits=index.snp_bf.bits,
+        ref_bf_bits=index.ref_bf.bits,
     )

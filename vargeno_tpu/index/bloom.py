@@ -68,10 +68,11 @@ class BitVector:
         return self.words.view("<u8").view("<u4")
 
 
-def ref_bf_bits_from_kmers(kmers: np.ndarray) -> np.ndarray:
-    """Bit indices for ref-kmer insertion: hash32(LO32) (identity modulo)."""
+def ref_bf_bits_from_kmers(kmers: np.ndarray, bits: int) -> np.ndarray:
+    """Bit indices for ref-kmer insertion: hash32(LO32) % bits. At the
+    reference geometry (9.6e9 bits > 2**32) the modulo is the identity."""
     lo = (kmers & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    return np_hash32(lo).astype(np.uint64)
+    return np_hash32(lo).astype(np.uint64) % np.uint64(bits)
 
 
 def lite_bf_bits_from_kmers(kmers: np.ndarray, bits: int) -> np.ndarray:
@@ -103,7 +104,7 @@ def build_ref_bfs(seqs: List[Seq], ref_bits: int, lite_bits: int):
         roll = np_rolling_kmers_u64(codes)
         ok = ~np_window_has_n(codes)
         kmers = roll[ok]
-        ref_bf.set_bits(ref_bf_bits_from_kmers(kmers))
+        ref_bf.set_bits(ref_bf_bits_from_kmers(kmers, ref_bits))
         lite_bf.set_bits(lite_bf_bits_from_kmers(kmers, lite_bits))
     return ref_bf, lite_bf
 

@@ -108,7 +108,7 @@ class OracleEngine:
     # --- Bloom probes ---
 
     def ref_bf_hit(self, kmer: int) -> bool:
-        bit = int(np_hash32(np.uint32(kmer & U32)))
+        bit = int(np_hash32(np.uint32(kmer & U32))) % self.ref_bf.bits
         return bool(self.ref_bf.test_bits(np.asarray([bit], np.uint64))[0])
 
     def snp_bf_hit(self, kmer: int) -> bool:

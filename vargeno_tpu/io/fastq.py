@@ -26,13 +26,16 @@ class ReadBatch:
 
 
 def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
-                      max_kmers: int) -> Iterator[ReadBatch]:
+                      max_kmers: int, skip_reads: int = 0
+                      ) -> Iterator[ReadBatch]:
     B, L, Km = batch_reads, max_read_len, max_kmers
     codes = np.full((B, L), 4, np.uint8)
     n_kmers = np.zeros(B, np.int32)
     qual = np.zeros((B, Km), np.uint8)
     fill = 0
     with open(path, "rb") as f:
+        for _ in range(skip_reads * 4):
+            f.readline()
         while True:
             rid = f.readline()
             if not rid:

@@ -51,31 +51,79 @@ def write_inputs(tmpdir: str, rng, genome, n_snps=40, n_reads=2000,
         for r in rows:
             f.write("\t".join(str(x) for x in r[:5]) + f"\t.\t.\t{r[5]}\n")
 
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    # vectorized read simulation: build per-chromosome ALT haplotypes once,
+    # then slice reads from REF or ALT haplotype per diploid genotype
+    code_of = {"A": 0, "C": 1, "G": 2, "T": 3}
     fq = os.path.join(tmpdir, "reads.fq")
+    base_codes = np.array([code_of[b] for b in "ACGT"], np.uint8)
+    comp_map = np.array([3, 2, 1, 0], np.uint8)
+    b2c = np.array(list("ACGT"))
+
+    chrom_ref = {}
+    chrom_alt = {}
+    for name, arr in genome:
+        codes = np.array([code_of[c] for c in arr.tolist()], np.uint8) \
+            if arr.dtype.kind == "U" else arr
+        ref_codes = np.frombuffer("".join(arr).encode(), np.uint8)
+        lut = np.zeros(256, np.uint8)
+        for b, c in code_of.items():
+            lut[ord(b)] = c
+        ref_codes = lut[ref_codes]
+        alt_codes = ref_codes.copy()
+        for r in rows:
+            if r[0] != name:
+                continue
+            p0 = r[1] - 1
+            gt = gts[(name, p0)]
+            if gt >= 1:
+                alt_codes[p0] = code_of[r[4]]
+        chrom_ref[name] = ref_codes
+        # hom-alt sites must be on BOTH haplotypes
+        hom = ref_codes.copy()
+        for r in rows:
+            if r[0] != name:
+                continue
+            p0 = r[1] - 1
+            if gts[(name, p0)] == 2:
+                hom[p0] = code_of[r[4]]
+        chrom_alt[name] = (hom, alt_codes)  # (hap0, hap1)
+
+    names = [n for n, _ in genome]
+    sizes = np.array([len(a) for _, a in genome])
+    probs = sizes / sizes.sum()
+    choice = rng.choice(len(genome), n_reads, p=probs)
+    K = read_len // 32
     with open(fq, "w") as f:
-        for i in range(n_reads):
-            ci = int(rng.integers(0, len(genome)))
-            name, arr = genome[ci]
-            start = int(rng.integers(0, len(arr) - read_len))
-            hap = int(rng.integers(0, 2))
-            seq = arr[start:start + read_len].copy()
-            for (cn, p), gt in gts.items():
-                if cn == name and start <= p < start + read_len:
-                    if gt == 2 or (gt == 1 and hap == 1):
-                        for r in rows:
-                            if r[0] == cn and r[1] == p + 1:
-                                seq[p - start] = r[4]
-            qual = ["I"] * read_len
-            if rng.random() < err_frac:
-                kidx = int(rng.integers(0, read_len // 32))
-                ep = int(rng.integers(kidx * 32, (kidx + 1) * 32))
-                seq[ep] = rng.choice([b for b in "ACGT" if b != seq[ep]])
-                qual[kidx] = "0"
-            s = "".join(seq)
-            if rng.random() < 0.5:
-                s = "".join(comp[c] for c in reversed(s))
-            f.write(f"@r{i}\n{s}\n+\n" + "".join(qual) + "\n")
+        for ci, name in enumerate(names):
+            sel = np.flatnonzero(choice == ci)
+            if sel.size == 0:
+                continue
+            n_c = sel.size
+            L = sizes[ci]
+            starts = rng.integers(0, L - read_len, n_c)
+            haps = rng.integers(0, 2, n_c)
+            hap0, hap1 = chrom_alt[name]
+            win = starts[:, None] + np.arange(read_len)[None, :]
+            reads = np.where(haps[:, None] == 0, hap0[win], hap1[win])
+            # errors
+            has_err = rng.random(n_c) < err_frac
+            kidx = rng.integers(0, K, n_c)
+            epos = kidx * 32 + rng.integers(0, 32, n_c)
+            delta = rng.integers(1, 4, n_c).astype(np.uint8)
+            rsel = np.flatnonzero(has_err)
+            reads[rsel, epos[rsel]] = (reads[rsel, epos[rsel]]
+                                       + delta[rsel]) % 4
+            # reverse complement half
+            is_rc = rng.random(n_c) < 0.5
+            rc = comp_map[reads[:, ::-1]]
+            reads = np.where(is_rc[:, None], rc, reads)
+            chars = b2c[reads]
+            qual_base = np.full((n_c, read_len), "I")
+            qual_base[rsel, kidx[rsel]] = "0"
+            for j in range(n_c):
+                f.write(f"@r{ci}_{j}\n")
+                f.write("".join(chars[j]) + "\n+\n")
+                f.write("".join(qual_base[j]) + "\n")
     return fa, vcf, fq
 
 

@@ -26,9 +26,17 @@ class ReadBatch:
 
 
 def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
-                      max_kmers: int, skip_reads: int = 0
-                      ) -> Iterator[ReadBatch]:
+                      max_kmers: int, skip_reads: int = 0,
+                      use_native: bool = True) -> Iterator[ReadBatch]:
     B, L, Km = batch_reads, max_read_len, max_kmers
+    if use_native and skip_reads == 0:
+        from .. import native
+
+        if native.available():
+            for codes, n_kmers, qual, got in native.fastq_batches(
+                    path, B, L, Km):
+                yield ReadBatch(codes, n_kmers, qual, got)
+            return
     codes = np.full((B, L), 4, np.uint8)
     n_kmers = np.zeros(B, np.int32)
     qual = np.zeros((B, Km), np.uint8)

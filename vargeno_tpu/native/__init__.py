@@ -1,0 +1,113 @@
+"""Native (C++) host runtime, loaded via ctypes with on-demand compilation.
+
+Falls back cleanly when no compiler is available: every consumer checks
+``available()`` and uses the numpy path otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fastio.cc")
+_SO = os.path.join(_DIR, "libvgtfastio.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _SO, _SRC],
+            check=True, capture_output=True)
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.vgt_fastq_batch.restype = ctypes.c_int64
+        lib.vgt_fastq_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.vgt_rolling_kmers.restype = ctypes.c_int64
+        lib.vgt_rolling_kmers.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint8)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def fastq_batches(path: str, batch: int, L: int, K: int):
+    """Yield (codes(B,L)u8, n_kmers(B,)i32, qual(B,K)u8, n_valid) from a
+    FASTQ file using the native parser. The file is read once into memory
+    (mmap-light; genomics FASTQs are streamed in practice -- chunking to a
+    bounded window is a TODO for >RAM files)."""
+    lib = _load()
+    assert lib is not None
+    data = open(path, "rb").read()
+    cursor = ctypes.c_int64(0)
+    n = len(data)
+    buf = ctypes.c_char_p(data)
+    while cursor.value < n:
+        codes = np.empty((batch, L), np.uint8)
+        n_kmers = np.empty(batch, np.int32)
+        qual = np.empty((batch, K), np.uint8)
+        got = lib.vgt_fastq_batch(
+            buf, n, ctypes.byref(cursor), batch, L, K,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if got == 0:
+            break
+        if got < batch:
+            codes[got:] = 4
+            n_kmers[got:] = 0
+            qual[got:] = 0
+        yield codes, n_kmers, qual, int(got)
+
+
+def rolling_kmers(codes: np.ndarray):
+    """(kmers u64, valid bool) for all 32-windows of a uint8 code array."""
+    lib = _load()
+    assert lib is not None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n = codes.shape[0]
+    nw = max(n - 31, 0)
+    kmers = np.empty(nw, np.uint64)
+    valid = np.empty(nw, np.uint8)
+    if nw:
+        lib.vgt_rolling_kmers(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+            kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return kmers, valid.astype(bool)

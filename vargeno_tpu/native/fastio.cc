@@ -1,0 +1,119 @@
+// Native host-side I/O runtime: FASTQ -> fixed-shape device batch encoder.
+//
+// The TPU engine consumes (B, L) uint8 base-code arrays plus per-read k-mer
+// counts and per-kmer-index quality bytes (see io/fastq.py). Python-level
+// parsing tops out well below device throughput, so this C++ path does the
+// byte scanning and 2-bit encoding; Python keeps orchestration. The
+// counterpart of the reference's fgets loop (src/qv.cc:760-763), built for
+// batch feeding instead of one-read-at-a-time.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 dependency).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// base -> code table: A/a=0 C/c=1 G/g=2 T/t=3 N/n=4 other=7
+struct CodeTable {
+  uint8_t t[256];
+  CodeTable() {
+    std::memset(t, 7, sizeof(t));
+    t[(unsigned)'A'] = 0; t[(unsigned)'a'] = 0;
+    t[(unsigned)'C'] = 1; t[(unsigned)'c'] = 1;
+    t[(unsigned)'G'] = 2; t[(unsigned)'g'] = 2;
+    t[(unsigned)'T'] = 3; t[(unsigned)'t'] = 3;
+    t[(unsigned)'N'] = 4; t[(unsigned)'n'] = 4;
+  }
+};
+const CodeTable kCodes;
+
+inline const char* find_nl(const char* p, const char* end) {
+  const void* nl = std::memchr(p, '\n', end - p);
+  return nl ? static_cast<const char*>(nl) : end;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse up to `batch` FASTQ records from buf[*cursor:len].
+// Outputs (caller-allocated):
+//   codes:   batch*L uint8, prefilled is NOT required (fully written)
+//   n_kmers: batch int32
+//   qual:    batch*K uint8
+// Returns number of reads parsed; advances *cursor past them.
+int64_t vgt_fastq_batch(const char* buf, int64_t len, int64_t* cursor,
+                        int64_t batch, int64_t L, int64_t K,
+                        uint8_t* codes, int32_t* n_kmers, uint8_t* qual) {
+  const char* p = buf + *cursor;
+  const char* end = buf + len;
+  int64_t filled = 0;
+  while (filled < batch && p < end) {
+    // @id line
+    const char* nl = find_nl(p, end);
+    if (nl == end) break;
+    p = nl + 1;
+    // sequence line
+    const char* seq = p;
+    nl = find_nl(p, end);
+    int64_t slen = nl - seq;
+    p = (nl == end) ? end : nl + 1;
+    // + line
+    nl = find_nl(p, end);
+    p = (nl == end) ? end : nl + 1;
+    // quality line
+    const char* q = p;
+    nl = find_nl(p, end);
+    int64_t qlen = nl - q;
+    p = (nl == end) ? end : nl + 1;
+
+    uint8_t* crow = codes + filled * L;
+    int64_t ln = slen < L ? slen : L;
+    for (int64_t i = 0; i < ln; ++i)
+      crow[i] = kCodes.t[(unsigned char)seq[i]];
+    if (ln < L) std::memset(crow + ln, 4, L - ln);
+    int64_t k = ln / 32;
+    if (k > K) k = K;
+    n_kmers[filled] = (int32_t)k;
+    uint8_t* qrow = qual + filled * K;
+    int64_t nq = qlen < K ? qlen : K;
+    for (int64_t i = 0; i < nq; ++i) qrow[i] = (uint8_t)q[i];
+    if (nq < K) std::memset(qrow + nq, 0, K - nq);
+    ++filled;
+  }
+  *cursor = p - buf;
+  return filled;
+}
+
+// Rolling 32-mer extraction for index build: writes one uint64 per window
+// and a validity byte (window free of non-ACGT). codes: n uint8.
+// Returns number of windows (n-31) or 0.
+int64_t vgt_rolling_kmers(const uint8_t* codes, int64_t n,
+                          uint64_t* kmers, uint8_t* valid) {
+  if (n < 32) return 0;
+  int64_t nw = n - 31;
+  uint64_t k = 0;
+  int bad = 0;  // count of invalid bases in current window
+  for (int64_t i = 0; i < 31; ++i) {
+    uint8_t c = codes[i];
+    if (c > 3) { bad++; c = 0; }
+    k |= (uint64_t)(c & 3) << (2 * i);
+  }
+  // window w covers [w, w+31]
+  for (int64_t w = 0; w < nw; ++w) {
+    uint8_t c = codes[w + 31];
+    int in_bad = (c > 3);
+    bad += in_bad;
+    k |= (uint64_t)(c & 3) << 62;
+    kmers[w] = k;
+    valid[w] = (bad == 0);
+    // slide: drop base w
+    uint8_t drop_bad = (codes[w] > 3);
+    bad -= drop_bad;
+    k >>= 2;
+  }
+  return nw;
+}
+
+}  // extern "C"

@@ -61,6 +61,23 @@ def main(argv=None):
     p.add_argument("ref_bf")
     p.add_argument("snp_bf")
 
+    p = sub.add_parser("ucscd", help="build dicts from UCSC SNP txt")
+    p.add_argument("ref_fasta")
+    p.add_argument("snp_txt")
+    p.add_argument("ref_dict")
+    p.add_argument("snp_dict")
+
+    p = sub.add_parser("ucscbf", help="build Bloom filters from UCSC txt")
+    p.add_argument("ref_fasta")
+    p.add_argument("snp_txt")
+    p.add_argument("ref_bf")
+    p.add_argument("snp_bf")
+
+    p = sub.add_parser("encodebf",
+                       help="SNP Bloom filter from raw values (gbf encode)")
+    p.add_argument("encode_file")
+    p.add_argument("snp_bf")
+
     p = sub.add_parser("filt", help="shrink ref dict to SNP-proximal k-mers")
     p.add_argument("prefix")
     p.add_argument("out_prefix")
@@ -99,6 +116,42 @@ def main(argv=None):
         from .index import filt
 
         filt.filt_prefix(args.prefix, args.out_prefix)
+        return 0
+
+    if args.cmd == "ucscd":
+        from .index import dictgen, store, ucsc
+        from .io import fasta as fasta_io
+
+        seqs = fasta_io.parse_fasta(args.ref_fasta)
+        with open(args.ref_fasta + ".chrlens", "w") as f:
+            f.write(fasta_io.chrlens_text(seqs))
+        snp_dict, _ = ucsc.build_snp_dict_ucsc(seqs, args.snp_txt)
+        ref_dict, _ = dictgen.build_ref_dict(seqs)
+        store.write_snp_dict(args.snp_dict, snp_dict)
+        store.write_ref_dict(args.ref_dict, ref_dict)
+        return 0
+
+    if args.cmd == "ucscbf":
+        from .config import DEFAULT_CONFIG as cfg
+        from .index import bloom, store, ucsc
+        from .io import fasta as fasta_io
+
+        seqs = fasta_io.parse_fasta(args.ref_fasta)
+        ref_bf, lite = bloom.build_ref_bfs(seqs, cfg.ref_bf_bits,
+                                           cfg.ref_lite_bf_bits)
+        snp_bf = ucsc.build_snp_bf_ucsc(seqs, args.snp_txt,
+                                        cfg.snp_bf_bits)
+        store.write_sdsl_bf(args.ref_bf, ref_bf)
+        store.write_sdsl_bf(args.ref_bf + ".lite.bf", lite)
+        store.write_sdsl_bf(args.snp_bf, snp_bf)
+        return 0
+
+    if args.cmd == "encodebf":
+        from .config import DEFAULT_CONFIG as cfg
+        from .index import store, ucsc
+
+        bf = ucsc.build_snp_bf_encode(args.encode_file, cfg.snp_bf_bits)
+        store.write_sdsl_bf(args.snp_bf, bf)
         return 0
 
     return 1

@@ -1,0 +1,160 @@
+"""Query backends: how the engine's probes are answered.
+
+The batched pipeline (engine.batch) issues four kinds of dictionary probes:
+exact ref / exact snp lookups, the ref jumpgate-block Hamming scan, and the
+snp block Hamming scan (reference: src/qv.cc:194-264, 316-464). A backend
+answers them with *materialized* row fields (pos/flag/snp_info), never row
+ids, so the caller needs no access to the dictionary arrays themselves --
+which is what makes the sharded-dictionary (all_to_all routed) backend a
+drop-in (dist.sharded_dict).
+
+``LocalBackend`` answers from a fully device-resident DeviceIndex, including
+the reference's small-block scan stride bug (entry ``lo + sizeof*(j)``
+tested, entry ``lo + j`` reported; qv.cc:359, 448).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from . import search
+from .device_index import DeviceIndex
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def _ctz32(x):
+    return jnp.where(
+        x == 0, jnp.int32(32),
+        jax.lax.population_count((x & (~x + U32(1))) - U32(1)).astype(I32))
+
+
+@dataclasses.dataclass
+class ScanResult:
+    """Per-(item, slot) block-scan hits, in block order, zero-padded."""
+
+    hit: jax.Array       # bool
+    pos: jax.Array       # u32 (dict pos field: position | aux row | AMBIG)
+    flag: jax.Array      # u8
+    info: jax.Array      # u8 (snp_info; zeros for ref scans)
+    nb_hi: jax.Array     # u32 neighbor kmer hi (as reference constructs it)
+    nb_lo: jax.Array     # u32 neighbor kmer lo
+    diff: jax.Array      # i32 mutated base index
+    overflow: jax.Array  # scalar i32 truncated hits/slots
+
+
+class LocalBackend:
+    """All dictionaries resident on every device."""
+
+    scan_slots = 100  # == BLOCK_SIZE_THRESHOLD: no truncation possible
+
+    def __init__(self, dix: DeviceIndex, stride_bug: bool,
+                 block_size_threshold: int):
+        self.dix = dix
+        self.stride_bug = stride_bug
+        self.S = block_size_threshold
+        self.scan_slots = block_size_threshold
+
+    # --- exact queries ---
+
+    def exact_ref(self, q_hi, q_lo):
+        """(hit, pos, flag)"""
+        d = self.dix
+        row, hit = search.exact_query(d.ref_hi, d.ref_lo, q_hi, q_lo)
+        pos = jnp.take(d.ref_pos, row, axis=0, mode="clip")
+        flag = jnp.take(d.ref_flag, row, axis=0, mode="clip")
+        return hit, pos, flag
+
+    def exact_snp(self, q_hi, q_lo):
+        """(hit, pos, info, flag)"""
+        d = self.dix
+        row, hit = search.exact_query(d.snp_hi, d.snp_lo, q_hi, q_lo)
+        pos = jnp.take(d.snp_pos, row, axis=0, mode="clip")
+        info = jnp.take(d.snp_info, row, axis=0, mode="clip")
+        flag = jnp.take(d.snp_flag, row, axis=0, mode="clip")
+        return hit, pos, info, flag
+
+    def ref_block_size(self, q_hi):
+        d = self.dix
+        blo, bhi = search.block_bounds_hi32(d.ref_hi, d.ref_lo, q_hi)
+        return bhi - blo
+
+    # --- block Hamming scans ---
+
+    def ref_scan(self, q_hi, q_lo, active) -> ScanResult:
+        """Small-block ref scan for each item; `active` masks items."""
+        d = self.dix
+        S = self.scan_slots
+        NI = q_hi.shape[0]
+        n_ref = d.ref_hi.shape[0]
+        blo, bhi = search.block_bounds_hi32(d.ref_hi, d.ref_lo, q_hi)
+        bsize = bhi - blo
+        j = jnp.arange(S, dtype=I32)[None, :]
+        meta_row = blo[:, None] + j
+        stride = 9 if self.stride_bug else 1
+        tidx = blo[:, None] + stride * j
+        test_lo = jnp.where(tidx < n_ref,
+                            jnp.take(d.ref_lo, tidx, axis=0, mode="clip"),
+                            U32(0))
+        x = q_lo[:, None] ^ test_lo
+        tz = _ctz32(x)
+        k2 = tz >> 1
+        sh2 = jnp.minimum(2 * k2, 31).astype(U32)
+        ok = (x != 0) & ((x >> sh2) <= 3)
+        act = active[:, None] & (j < bsize[:, None])
+        hit = act & ok
+        mr = jnp.minimum(meta_row, max(n_ref - 1, 0))
+        return ScanResult(
+            hit=hit,
+            pos=jnp.take(d.ref_pos, mr, axis=0, mode="clip"),
+            flag=jnp.take(d.ref_flag, mr, axis=0, mode="clip"),
+            info=jnp.zeros((NI, S), jnp.uint8),
+            nb_hi=jnp.broadcast_to(q_hi[:, None], (NI, S)),
+            nb_lo=test_lo,
+            diff=k2,
+            overflow=jnp.zeros((), I32))
+
+    def snp_scan(self, q_hi, q_lo, active) -> ScanResult:
+        d = self.dix
+        S = self.scan_slots
+        NI = q_hi.shape[0]
+        n_snp = d.snp_hi.shape[0]
+        slo, shi = search.block_bounds_hi24(d.snp_hi, d.snp_lo, q_hi >> 8)
+        ssize = shi - slo
+        j = jnp.arange(S, dtype=I32)[None, :]
+        meta_row = slo[:, None] + j
+        stride = 11 if self.stride_bug else 1
+        tidx = slo[:, None] + stride * j
+        in_dict = tidx < n_snp
+        e_lo = jnp.where(in_dict,
+                         jnp.take(d.snp_lo, tidx, axis=0, mode="clip"),
+                         U32(0))
+        e_hi8 = jnp.where(in_dict,
+                          jnp.take(d.snp_hi, tidx, axis=0, mode="clip")
+                          & U32(0xFF), U32(0))
+        xlo = q_lo[:, None] ^ e_lo
+        xhi8 = (q_hi[:, None] & U32(0xFF)) ^ e_hi8
+        tz40 = jnp.where(xlo != 0, _ctz32(xlo), 32 + _ctz32(xhi8))
+        k2s = tz40 >> 1
+        sh_lo = jnp.clip(2 * k2s, 0, 31).astype(U32)
+        sh_hi = jnp.clip(2 * k2s - 32, 0, 31).astype(U32)
+        ok_lo = (xhi8 == 0) & ((xlo >> sh_lo) <= 3)
+        ok_hi = (xlo == 0) & ((xhi8 >> sh_hi) <= 3)
+        oks = jnp.where(tz40 < 32, ok_lo, ok_hi) & ((xlo | xhi8) != 0)
+        act = active[:, None] & (j < ssize[:, None])
+        hit = act & oks
+        mr = jnp.minimum(meta_row, max(n_snp - 1, 0))
+        return ScanResult(
+            hit=hit,
+            pos=jnp.take(d.snp_pos, mr, axis=0, mode="clip"),
+            flag=jnp.take(d.snp_flag, mr, axis=0, mode="clip"),
+            info=jnp.take(d.snp_info, mr, axis=0, mode="clip"),
+            nb_hi=(q_hi[:, None] & U32(0xFFFFFF00)) | e_hi8,
+            nb_lo=e_lo,
+            diff=k2s,
+            overflow=jnp.sum(jnp.maximum(
+                jnp.where(active, ssize, 0) - S, 0)))

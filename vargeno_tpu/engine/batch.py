@@ -1,6 +1,6 @@
 """The batched TPU genotyping engine.
 
-Re-architects the reference's per-read sequential loop (src/qv.ccc:760-1558)
+Re-architects the reference's per-read sequential loop (src/qv.cc:760-1558)
 as a fixed-shape data-parallel pipeline over B reads x K k-mers:
 
   encode -> exact lookups -> low-quality k-mer compaction -> neighbor probe
@@ -19,20 +19,24 @@ blocks, qv.cc:1110-1209, or the big-block 96-probe enumeration,
 qv.cc:962-1108) and the hi-half probe events (qv.cc:1213-1365), because the
 vote state machine (improved_index_table_add, qv.cc:132-178) is
 order-sensitive.
+
+Dictionary probes are answered through a pluggable backend (engine.backend):
+LocalBackend for a replicated index, dist.sharded_dict.RoutedBackend for a
+hi-bit-partitioned index with all_to_all k-mer routing.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import GenoConfig, NO_MODIFICATION, POS_AMBIGUOUS
 from ..core import hashes
 from . import search
+from .backend import LocalBackend
 from .device_index import DeviceIndex
 
 U32 = jnp.uint32
@@ -42,19 +46,11 @@ _NO_MOD = jnp.int32(NO_MODIFICATION)
 _POS_AMBIG = jnp.uint32(POS_AMBIGUOUS)
 
 
-def _ctz32(x):
-    """Count trailing zeros of uint32 (0 -> 32)."""
-    return jnp.where(
-        x == 0, jnp.int32(32),
-        jax.lax.population_count((x & (~x + U32(1))) - U32(1)).astype(I32))
-
-
 def encode_batch(codes, n_kmers, K: int):
     """codes (B, L) u8 -> kmer (hi, lo) (B, K) u32 + validity.
 
     A read whose first n_kmers*32 bases contain any non-ACGT code is dropped
-    entirely (src/qv.cc:812-828: N aborts the orientation AND the read).
-    Returns (hi, lo, kmer_valid (B,K), read_ok (B,))."""
+    entirely (src/qv.cc:812-828: N aborts the orientation AND the read)."""
     B = codes.shape[0]
     win = codes[:, : K * 32].reshape(B, K, 32)
     shifts = jnp.arange(16, dtype=U32) * 2
@@ -80,23 +76,9 @@ class _Shapes:
     NI: int   # neighbor work items
     H: int    # compacted probe hits per item
     A: int    # agreeing contexts per read
-    S: int = 100  # block-scan slots (BLOCK_SIZE_THRESHOLD)
-
-
-def _mutate_pair(hi, lo, base_idx, j):
-    """Mutate string base `base_idx` (0..31, traced) to code j."""
-    is_lo = base_idx < 16
-    sh_lo = (2 * base_idx).astype(U32)
-    sh_hi = (2 * (base_idx - 16)).astype(U32)
-    new_lo = jnp.where(
-        is_lo, (lo & ~(U32(3) << sh_lo)) | (j.astype(U32) << sh_lo), lo)
-    new_hi = jnp.where(
-        is_lo, hi, (hi & ~(U32(3) << sh_hi)) | (j.astype(U32) << sh_hi))
-    return new_hi, new_lo
 
 
 def _get_base(hi, lo, i):
-    """Base code at traced string index i (int32)."""
     use_hi = i >= 16
     sh = jnp.where(use_hi, 2 * (i - 16), 2 * i).astype(U32)
     word = jnp.where(use_hi, hi, lo)
@@ -104,15 +86,15 @@ def _get_base(hi, lo, i):
 
 
 def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
-                         return_debug: bool = False):
+                         return_debug: bool = False,
+                         backend_factory: Optional[Callable] = None):
     """Build the jitted per-batch step.
 
     step(codes(B,L)u8, n_kmers(B,)i32, qual(B,K)u8, ref_cnt(s,), alt_cnt(s,))
       -> (ref_cnt', alt_cnt', stats)  [+ debug dict when return_debug]
 
-    The index arrays are threaded through jit as a pytree argument (NOT
-    captured constants -- a 1.2 GB Bloom filter must not be baked into the
-    HLO).
+    The index arrays thread through jit as a pytree argument (NOT captured
+    constants -- a 1.2 GB Bloom filter must not be baked into the HLO).
     """
     host_dix = dix
     cfg = config
@@ -122,42 +104,29 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         NI=max(8, int(cfg.batch_reads * cfg.max_kmers_per_read
                       * cfg.neighbor_item_frac)),
         H=cfg.probe_hit_cap, A=cfg.agree_cap)
-    stride_bug = cfg.replicate_stride_bug
 
-    n_ref = dix.n_ref
-    n_snp = dix.n_snp
+    if backend_factory is None:
+        def backend_factory(dix_t):
+            return LocalBackend(dix_t, cfg.replicate_stride_bug,
+                                cfg.block_size_threshold)
 
-    # ---- probe slot geometry (order matters; see module docstring) ----
-    # lo region: small-block ref scan S slots, then snp scan S slots,
-    # then big-block (base, j, kind) 16*4*2 slots; hi region 16*4*2 slots.
-    S = sh.S
-    P_SMALL = 2 * S          # 0..199
-    P_BIGLO = 16 * 4 * 2     # 200..327
-    P_HI = 16 * 4 * 2        # 328..455
+    # probe slot geometry depends on the backend's scan capacity
+    SCAN = backend_factory(dix).scan_slots
+    P_SMALL = 2 * SCAN
+    P_BIGLO = 16 * 4 * 2
+    P_HI = 16 * 4 * 2
     P2 = P_SMALL + P_BIGLO + P_HI
-
-    def ref_exact(q_hi, q_lo):
-        return search.exact_query(dix.ref_hi, dix.ref_lo, q_hi, q_lo)
-
-    def snp_exact(q_hi, q_lo):
-        return search.exact_query(dix.snp_hi, dix.snp_lo, q_hi, q_lo)
 
     def take(arr, idx):
         return jnp.take(arr, idx, axis=0, mode="clip")
 
     # ------------------------------------------------------------------
-    def neighbor_probes(it_hi, it_lo, it_valid):
-        """All neighbor probes for NI work items.
-
-        Returns per-(NI, P2): hit, is_ref kind, row, nb_hi, nb_lo, diff,
-        plus per-item snp block overflow count."""
+    def neighbor_probes(be, dix, it_hi, it_lo, it_valid):
+        """All neighbor probes for NI work items -> (NI, P2) materialized
+        fields (hit, is_ref, pos, flag, info, nb_hi, nb_lo, diff)."""
         NI = it_hi.shape[0]
-        blo, bhi = search.block_bounds_hi32(dix.ref_hi, dix.ref_lo, it_hi)
-        bsize = bhi - blo
-        big = bsize >= jnp.int32(S)
-        slo, shi = search.block_bounds_hi24(
-            dix.snp_hi, dix.snp_lo, it_hi >> 8)
-        ssize = shi - slo
+        bsize = be.ref_block_size(it_hi)
+        big = bsize >= jnp.int32(cfg.block_size_threshold)
 
         # Bloom-filter pruning (qv.cc:946-956)
         ref_bit = hashes.hash32(it_lo)
@@ -170,82 +139,49 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         ref_bound = jnp.where(ref_hit_bf, 64, 32)
         snp_bound = jnp.where(snp_hit_bf, 64, 40)
 
-        outs = []  # list of (hit, is_ref, row, nb_hi, nb_lo, diff), (NI, p)
+        outs = []  # (hit, is_ref, pos, flag, info, nb_hi, nb_lo, diff)
 
-        # --- small-block ref Hamming scan (qv.cc:1124-1174 via 316-376) ---
-        j = jnp.arange(S, dtype=I32)[None, :]           # (1, S)
-        meta_row = blo[:, None] + j                      # (NI, S)
-        stride = 9 if stride_bug else 1
-        tidx = blo[:, None] + stride * j
-        in_dict = tidx < n_ref
-        test_lo = jnp.where(in_dict, take(dix.ref_lo, tidx), U32(0))
-        x = it_lo[:, None] ^ test_lo
-        tz = _ctz32(x)
-        k2 = tz >> 1
-        sh2 = jnp.minimum(2 * k2, 31).astype(U32)
-        ok = (x != 0) & ((x >> sh2) <= 3)
-        active = it_valid[:, None] & ~big[:, None] & (j < bsize[:, None])
-        outs.append((active & ok,
-                     jnp.ones((NI, S), bool),
-                     meta_row,
-                     jnp.broadcast_to(it_hi[:, None], (NI, S)),
-                     test_lo,
-                     k2))
+        # --- small-block scans (ref then snp) ---
+        rs = be.ref_scan(it_hi, it_lo, it_valid & ~big)
+        outs.append((rs.hit, jnp.ones_like(rs.hit), rs.pos, rs.flag,
+                     rs.info, rs.nb_hi, rs.nb_lo, rs.diff))
+        ss = be.snp_scan(it_hi, it_lo, it_valid & ~big)
+        outs.append((ss.hit, jnp.zeros_like(ss.hit), ss.pos, ss.flag,
+                     ss.info, ss.nb_hi, ss.nb_lo, ss.diff))
+        scan_overflow = rs.overflow + ss.overflow
 
-        # --- small-block snp Hamming scan (qv.cc:1176-1208 via 413-463) ---
-        stride_s = 11 if stride_bug else 1
-        meta_row_s = slo[:, None] + j
-        tidx_s = slo[:, None] + stride_s * j
-        in_dict_s = tidx_s < n_snp
-        e_lo = jnp.where(in_dict_s, take(dix.snp_lo, tidx_s), U32(0))
-        e_hi8 = jnp.where(in_dict_s, take(dix.snp_hi, tidx_s) & U32(0xFF),
-                          U32(0))
-        xlo = it_lo[:, None] ^ e_lo
-        xhi8 = (it_hi[:, None] & U32(0xFF)) ^ e_hi8
-        tz40 = jnp.where(xlo != 0, _ctz32(xlo), 32 + _ctz32(xhi8))
-        k2s = tz40 >> 1
-        sh_lo = jnp.clip(2 * k2s, 0, 31).astype(U32)
-        sh_hi = jnp.clip(2 * k2s - 32, 0, 31).astype(U32)
-        ok_lo = (xhi8 == 0) & ((xlo >> sh_lo) <= 3)
-        ok_hi = (xlo == 0) & ((xhi8 >> sh_hi) <= 3)
-        oks = jnp.where(tz40 < 32, ok_lo, ok_hi) & ((xlo | xhi8) != 0)
-        active_s = it_valid[:, None] & ~big[:, None] & (j < ssize[:, None])
-        outs.append((active_s & oks,
-                     jnp.zeros((NI, S), bool),
-                     meta_row_s,
-                     (it_hi[:, None] & U32(0xFFFFFF00)) | e_hi8,
-                     e_lo,
-                     k2s))
-        snp_scan_overflow = jnp.sum(
-            jnp.maximum(jnp.where(it_valid & ~big, ssize, 0) - S, 0))
+        def interleave(a_ref, a_snp):
+            return jnp.stack([a_ref, a_snp], axis=-1).reshape(
+                a_ref.shape[0], -1)
 
-        # --- big-block lo-half enumeration (qv.cc:965-1108) ---
         bases = jnp.arange(16, dtype=I32)
         jj = jnp.arange(4, dtype=I32)
-        bgrid = jnp.repeat(bases, 4)[None, :]            # (1, 64) base idx
-        jgrid = jnp.tile(jj, 16)[None, :]                # (1, 64)
+        bgrid = jnp.repeat(bases, 4)[None, :]            # (1, 64)
+        jgrid = jnp.tile(jj, 16)[None, :]
+
+        # --- big-block lo-half enumeration (qv.cc:965-1108) ---
         cur = ((it_lo[:, None] >> (2 * bgrid).astype(U32)) & U32(3))
         act_bl = it_valid[:, None] & big[:, None] & (jgrid != cur.astype(I32))
         nb_lo_big = ((it_lo[:, None] & ~(U32(3) << (2 * bgrid).astype(U32)))
                      | (jgrid.astype(U32) << (2 * bgrid).astype(U32)))
         nb_hi_big = jnp.broadcast_to(it_hi[:, None], nb_lo_big.shape)
-        r_row, r_hit = ref_exact(nb_hi_big, nb_lo_big)
-        s_row, s_hit = snp_exact(nb_hi_big, nb_lo_big)
-        # interleave ref/snp per (base, j): stack on a new trailing axis
-        def interleave(a_ref, a_snp):
-            return jnp.stack([a_ref, a_snp], axis=-1).reshape(
-                a_ref.shape[0], -1)
-        outs.append((interleave(act_bl & r_hit, act_bl & s_hit),
-                     interleave(jnp.ones_like(act_bl),
-                                jnp.zeros_like(act_bl)),
-                     interleave(r_row, s_row),
-                     interleave(nb_hi_big, nb_hi_big),
-                     interleave(nb_lo_big, nb_lo_big),
-                     interleave(bgrid + 0 * r_row, bgrid + 0 * s_row)))
+        r_hit, r_pos, r_flag = be.exact_ref(nb_hi_big, nb_lo_big)
+        s_hit, s_pos, s_info, s_flag = be.exact_snp(nb_hi_big, nb_lo_big)
+        z8 = jnp.zeros_like(s_info)
+        outs.append((
+            interleave(act_bl & r_hit, act_bl & s_hit),
+            interleave(jnp.ones_like(act_bl), jnp.zeros_like(act_bl)),
+            interleave(r_pos, s_pos),
+            interleave(r_flag, s_flag),
+            interleave(z8, s_info),
+            interleave(nb_hi_big, nb_hi_big),
+            interleave(nb_lo_big, nb_lo_big),
+            interleave(bgrid + 0 * r_pos.astype(I32),
+                       bgrid + 0 * s_pos.astype(I32))))
 
         # --- hi-half probes (qv.cc:1213-1365) ---
-        bgrid_h = bgrid + 16                              # bases 16..31
-        bitpos = 2 * bgrid_h                              # 32..62
+        bgrid_h = bgrid + 16
+        bitpos = 2 * bgrid_h
         cur_h = ((it_hi[:, None] >> (2 * bgrid).astype(U32)) & U32(3))
         base_ok = jgrid != cur_h.astype(I32)
         nb_hi_h = ((it_hi[:, None] & ~(U32(3) << (2 * bgrid).astype(U32)))
@@ -256,41 +192,32 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         act_snp = (it_valid[:, None] & base_ok
                    & (big[:, None] | (bitpos >= 40))
                    & (bitpos < snp_bound[:, None]))
-        rh_row, rh_hit = ref_exact(nb_hi_h, nb_lo_h)
-        sh_row, sh_hit = snp_exact(nb_hi_h, nb_lo_h)
-        outs.append((interleave(act_ref & rh_hit, act_snp & sh_hit),
-                     interleave(jnp.ones_like(act_ref),
-                                jnp.zeros_like(act_snp)),
-                     interleave(rh_row, sh_row),
-                     interleave(nb_hi_h, nb_hi_h),
-                     interleave(nb_lo_h, nb_lo_h),
-                     interleave(bgrid_h + 0 * rh_row, bgrid_h + 0 * sh_row)))
+        rh_hit, rh_pos, rh_flag = be.exact_ref(nb_hi_h, nb_lo_h)
+        sh_hit, sh_pos, sh_info, sh_flag = be.exact_snp(nb_hi_h, nb_lo_h)
+        outs.append((
+            interleave(act_ref & rh_hit, act_snp & sh_hit),
+            interleave(jnp.ones_like(act_ref), jnp.zeros_like(act_snp)),
+            interleave(rh_pos, sh_pos),
+            interleave(rh_flag, sh_flag),
+            interleave(jnp.zeros_like(sh_info), sh_info),
+            interleave(nb_hi_h, nb_hi_h),
+            interleave(nb_lo_h, nb_lo_h),
+            interleave(bgrid_h + 0 * rh_pos.astype(I32),
+                       bgrid_h + 0 * sh_pos.astype(I32))))
 
         cat = lambda i: jnp.concatenate([o[i] for o in outs], axis=1)
-        hit, is_ref, row, nb_hi, nb_lo, diff = (cat(i) for i in range(6))
-        return hit, is_ref, row, nb_hi, nb_lo, diff, snp_scan_overflow
+        return tuple(cat(i) for i in range(8)) + (scan_overflow,)
 
     # ------------------------------------------------------------------
-    def expand_probe_events(p_is_ref, p_row, p_nb_hi, p_nb_lo, p_diff,
+    def expand_probe_events(dix, p_is_ref, p_pos, p_flag, p_info, p_diff,
                             p_valid):
-        """(NI, H) compacted probe hits -> (NI, H, 10) candidate events.
+        """(NI, H) compacted probe hits -> (NI, H, 10) candidate events:
+        (kmer_pos, validity)."""
+        usable = p_valid & (p_pos != _POS_AMBIG)
+        unamb = p_flag == 0
 
-        Returns kmer_pos (u32), validity, per fields shared across cols:
-        everything else (nb kmer, diff) is per-probe."""
-        pos_ref = take(dix.ref_pos, p_row)
-        pos_snp = take(dix.snp_pos, p_row)
-        flag_ref = take(dix.ref_flag, p_row)
-        flag_snp = take(dix.snp_flag, p_row)
-        info_snp = take(dix.snp_info, p_row)
-        pos = jnp.where(p_is_ref, pos_ref, pos_snp)
-        flag = jnp.where(p_is_ref, flag_ref, flag_snp)
-        usable = p_valid & (pos != _POS_AMBIG)
-        unamb = flag == 0
-
-        # per-probe aux rows (only meaningful when ambiguous)
-        aux_row = jnp.minimum(pos, U32(max(1, dix.ref_aux.shape[0]) - 1))
-        aux_row_s = jnp.minimum(pos,
-                                U32(max(1, dix.snp_aux_pos.shape[0]) - 1))
+        aux_row = jnp.minimum(p_pos, U32(dix.ref_aux.shape[0] - 1))
+        aux_row_s = jnp.minimum(p_pos, U32(dix.snp_aux_pos.shape[0] - 1))
         aux_pos = jnp.where(
             p_is_ref[..., None],
             take(dix.ref_aux, aux_row.astype(I32)),
@@ -298,16 +225,14 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         aux_snp = take(dix.snp_aux_snp, aux_row_s.astype(I32))
 
         col0 = (jnp.arange(10) == 0)
-        # candidate kmer_pos per column
-        kpos = jnp.where(unamb[..., None] & col0, pos[..., None], aux_pos)
+        kpos = jnp.where(unamb[..., None] & col0, p_pos[..., None], aux_pos)
         col_valid = jnp.where(unamb[..., None], col0, aux_pos != 0)
 
-        # neighbor checks (exact probes never reach here)
         diff_u = p_diff.astype(U32)
         site_pos_chk = kpos + diff_u[..., None]
         is_site = search.bitmap_test(dix.site_bitmap, site_pos_chk)
         snp_off = ((jnp.where(unamb[..., None] & col0,
-                              info_snp[..., None], aux_snp) >> 3)
+                              p_info[..., None], aux_snp) >> 3)
                    & 0x1F).astype(I32)
         check = jnp.where(p_is_ref[..., None], ~is_site,
                           snp_off != p_diff[..., None])
@@ -315,20 +240,11 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         return kpos, ev_valid
 
     # ------------------------------------------------------------------
-    def expand_exact_events(is_ref, row, hit):
+    def expand_exact_events(dix, is_ref: bool, hit, pos, flag):
         """(B, K) exact hits -> (B, K, 10) events (no checks)."""
-        if is_ref:
-            pos = take(dix.ref_pos, row)
-            flag = take(dix.ref_flag, row)
-            aux = take(dix.ref_aux,
-                       jnp.minimum(pos, U32(max(1, dix.ref_aux.shape[0])
-                                            - 1)).astype(I32))
-        else:
-            pos = take(dix.snp_pos, row)
-            flag = take(dix.snp_flag, row)
-            aux = take(dix.snp_aux_pos,
-                       jnp.minimum(pos, U32(max(1, dix.snp_aux_pos.shape[0])
-                                            - 1)).astype(I32))
+        aux_arr = dix.ref_aux if is_ref else dix.snp_aux_pos
+        aux = take(aux_arr,
+                   jnp.minimum(pos, U32(aux_arr.shape[0] - 1)).astype(I32))
         usable = hit & (pos != _POS_AMBIG)
         unamb = flag == 0
         col0 = (jnp.arange(10) == 0)
@@ -338,23 +254,23 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         return kpos, ev_valid
 
     # ------------------------------------------------------------------
-    def orientation_pass(codes, n_kmers, qual):
+    def orientation_pass(dix, be, codes, n_kmers, qual):
         B, K, E, C, NI, H = sh.B, sh.K, sh.E, sh.C, sh.NI, sh.H
         hi, lo, kmer_valid, read_ok = encode_batch(codes, n_kmers, K)
 
-        # exact queries for every kmer slot
-        r_row, r_hit = ref_exact(hi, lo)
-        s_row, s_hit = snp_exact(hi, lo)
+        r_hit, r_pos, r_flag = be.exact_ref(hi, lo)
+        s_hit, s_pos, s_info, s_flag = be.exact_snp(hi, lo)
         r_hit = r_hit & kmer_valid
         s_hit = s_hit & kmer_valid
 
-        # exact events (B, K, 10)
-        exr_kpos, exr_valid = expand_exact_events(True, r_row, r_hit)
-        exs_kpos, exs_valid = expand_exact_events(False, s_row, s_hit)
+        exr_kpos, exr_valid = expand_exact_events(dix, True, r_hit, r_pos,
+                                                  r_flag)
+        exs_kpos, exs_valid = expand_exact_events(dix, False, s_hit, s_pos,
+                                                  s_flag)
 
         # ---- neighbor work-item compaction ----
         lowq = kmer_valid & (qual < jnp.uint8(cfg.quality_score))
-        flat_mask = lowq.reshape(-1)                       # (B*K,)
+        flat_mask = lowq.reshape(-1)
         tgt = jnp.cumsum(flat_mask.astype(I32)) - 1
         keep = flat_mask & (tgt < NI)
         ni_overflow = jnp.sum(flat_mask) - jnp.sum(keep)
@@ -368,8 +284,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         it_hi = hi[it_b, it_k]
         it_lo = lo[it_b, it_k]
 
-        (p_hit, p_is_ref, p_row, p_nb_hi, p_nb_lo, p_diff,
-         snp_scan_ovf) = neighbor_probes(it_hi, it_lo, it_ok)
+        (p_hit, p_is_ref, p_pos, p_flag, p_info, p_nb_hi, p_nb_lo, p_diff,
+         scan_ovf) = neighbor_probes(be, dix, it_hi, it_lo, it_ok)
 
         # ---- probe-hit compaction (NI, P2) -> (NI, H) ----
         ptgt = jnp.cumsum(p_hit.astype(I32), axis=1) - 1
@@ -385,49 +301,45 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         c_valid = compact(pkeep, False)
         c_is_ref = compact(p_is_ref, False)
-        c_row = compact(p_row, 0)
+        c_pos = compact(p_pos, U32(0))
+        c_flag = compact(p_flag, jnp.uint8(0))
+        c_info = compact(p_info, jnp.uint8(0))
         c_nb_hi = compact(p_nb_hi, U32(0))
         c_nb_lo = compact(p_nb_lo, U32(0))
         c_diff = compact(p_diff, 0)
 
         nb_kpos, nb_valid = expand_probe_events(
-            c_is_ref, c_row.astype(I32), c_nb_hi, c_nb_lo, c_diff, c_valid)
+            dix, c_is_ref, c_pos, c_flag, c_info, c_diff, c_valid)
 
         # ---- event assembly into ordered (B, E) buffer ----
-        # group counts per (b): [exr_k, exs_k, nb_k] for k in 0..K-1
-        exr_n = jnp.sum(exr_valid, axis=-1)                # (B, K)
+        exr_n = jnp.sum(exr_valid, axis=-1)
         exs_n = jnp.sum(exs_valid, axis=-1)
-        nb_n_item = jnp.sum(nb_valid, axis=(1, 2))         # (NI,)
+        nb_n_item = jnp.sum(nb_valid, axis=(1, 2))
         nb_n_flat = jnp.zeros(B * K, I32).at[
             jnp.where(it_ok, item_src, B * K)].set(
                 nb_n_item.astype(I32), mode="drop")
         nb_n = nb_n_flat.reshape(B, K)
         groups = jnp.stack([exr_n, exs_n, nb_n], axis=-1).reshape(B, 3 * K)
-        goff = jnp.cumsum(groups, axis=-1) - groups        # exclusive
+        goff = jnp.cumsum(groups, axis=-1) - groups
         ev_total = jnp.sum(groups, axis=-1)
         ev_overflow = jnp.sum(jnp.maximum(ev_total - E, 0))
 
-        # flat event buffer (B*(E+1)) with dump slot E per read
-        def ev_buffers():
-            return dict(
-                idx=jnp.zeros((B, E + 1), U32),
-                kpos=jnp.zeros((B, E + 1), U32),
-                nbhi=jnp.zeros((B, E + 1), U32),
-                nblo=jnp.zeros((B, E + 1), U32),
-                modif=jnp.full((B, E + 1), _NO_MOD, I32),
-                k=jnp.zeros((B, E + 1), I32),
-                isnb=jnp.zeros((B, E + 1), bool),
-                valid=jnp.zeros((B, E + 1), bool),
-            )
-
-        buf = ev_buffers()
+        buf = dict(
+            idx=jnp.zeros((B, E + 1), U32),
+            kpos=jnp.zeros((B, E + 1), U32),
+            nbhi=jnp.zeros((B, E + 1), U32),
+            nblo=jnp.zeros((B, E + 1), U32),
+            modif=jnp.full((B, E + 1), _NO_MOD, I32),
+            k=jnp.zeros((B, E + 1), I32),
+            isnb=jnp.zeros((B, E + 1), bool),
+            valid=jnp.zeros((B, E + 1), bool),
+        )
         rows_b = jnp.arange(B)[:, None, None]
 
         def scatter_group(buf, kpos, valid, group_idx, nbhi, nblo, modif,
                           isnb, kslot):
-            # rank within the (B, K, 10) group
             rank = jnp.cumsum(valid, axis=-1) - 1
-            base = jnp.take_along_axis(goff, group_idx, axis=-1)  # (B, K)
+            base = jnp.take_along_axis(goff, group_idx, axis=-1)
             e = base[..., None] + rank
             e = jnp.where(valid & (e < E), e, E)
             buf["idx"] = buf["idx"].at[rows_b, e].set(
@@ -449,21 +361,20 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         kslot_arr = jnp.broadcast_to(jnp.arange(K, dtype=I32)[None, :],
                                      (B, K))
         g_exr = jnp.broadcast_to((3 * jnp.arange(K))[None, :], (B, K))
-        g_exs = g_exr + 1
         buf = scatter_group(buf, exr_kpos, exr_valid, g_exr, hi, lo,
                             jnp.full((B, K), _NO_MOD), False, kslot_arr)
-        buf = scatter_group(buf, exs_kpos, exs_valid, g_exs, hi, lo,
+        buf = scatter_group(buf, exs_kpos, exs_valid, g_exr + 1, hi, lo,
                             jnp.full((B, K), _NO_MOD), False, kslot_arr)
 
         # neighbor events: (NI, H, 10); within-item order = (probe, col)
         nb_rank = (jnp.cumsum(nb_valid.reshape(NI, -1), axis=-1) - 1)
-        nb_base = goff[it_b, 3 * it_k + 2]                  # (NI,)
-        e_nb = nb_base[:, None] + nb_rank                   # (NI, H*10)
+        nb_base = goff[it_b, 3 * it_k + 2]
+        e_nb = nb_base[:, None] + nb_rank
         v_nb = nb_valid.reshape(NI, -1)
         e_nb = jnp.where(v_nb & (e_nb < E), e_nb, E)
         b_nb = jnp.broadcast_to(it_b[:, None], e_nb.shape)
 
-        def nb_field(a):   # (NI, H) -> (NI, H*10)
+        def nb_field(a):
             return jnp.broadcast_to(a[..., None],
                                     a.shape + (10,)).reshape(NI, -1)
 
@@ -484,7 +395,6 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         buf["isnb"] = buf["isnb"].at[b_nb, e_nb].set(True, mode="drop")
         buf["valid"] = buf["valid"].at[b_nb, e_nb].set(v_nb, mode="drop")
 
-        # drop the dump column
         buf = {k: v[:, :E] for k, v in buf.items()}
 
         # ---- vote scan (improved_index_table_add, qv.cc:132-178) ----
@@ -552,12 +462,12 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         stats = dict(ni_overflow=ni_overflow, probe_overflow=ph_overflow,
                      event_overflow=ev_overflow, cand_overflow=cand_ovf,
-                     snp_scan_overflow=snp_scan_ovf)
+                     snp_scan_overflow=scan_ovf)
         return dict(buf=buf, process=process, target=target,
                     read_ok=read_ok, stats=stats)
 
     # ------------------------------------------------------------------
-    def pileup_accumulate(buf, use_mask, target, ref_cnt, alt_cnt):
+    def pileup_accumulate(dix, buf, use_mask, target, ref_cnt, alt_cnt):
         """Scatter agreeing contexts into per-site counts
         (qv.cc:1382-1502)."""
         B, E, A = sh.B, sh.E, sh.A
@@ -586,7 +496,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         srow = search.lower_bound(
             dix.site_pos, jnp.zeros_like(dix.site_pos),
             pos, jnp.zeros(pos.shape, U32))
-        n_sites = dix.n_sites
+        n_sites = dix.site_pos.shape[0]
         src = jnp.minimum(srow, max(n_sites - 1, 0))
         is_site = active & (srow < n_sites) & (take(dix.site_pos, src)
                                                == pos)
@@ -605,14 +515,11 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
     # ------------------------------------------------------------------
     def step(dix_t, codes, n_kmers, qual, ref_cnt, alt_cnt):
-        # rebind the enclosing `dix` to the traced pytree so every helper
-        # reads traced arrays instead of baking host constants into the HLO
-        nonlocal dix
-        dix = dix_t
         B, K = sh.B, sh.K
-        fwd = orientation_pass(codes, n_kmers, qual)
+        be = backend_factory(dix_t)
+        fwd = orientation_pass(dix_t, be, codes, n_kmers, qual)
 
-        # reverse-complement retry for unprocessed reads (qv.cc:1504-1510).
+        # reverse-complement retry for unprocessed reads (qv.cc:1504-1510)
         length = (n_kmers * 32).astype(jnp.int32)
         L = codes.shape[1]
         ridx = length[:, None] - 1 - jnp.arange(L, dtype=I32)[None, :]
@@ -621,15 +528,15 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                                 axis=1)
         rc = jnp.where(g < 4, 3 - g, g)
         rc_codes = jnp.where(rvalid, rc, jnp.uint8(4)).astype(jnp.uint8)
-        rev = orientation_pass(rc_codes, n_kmers, qual)
+        rev = orientation_pass(dix_t, be, rc_codes, n_kmers, qual)
 
         use_fwd = fwd["process"]
         use_rev = ~fwd["process"] & fwd["read_ok"] & rev["process"]
 
         ref_cnt, alt_cnt, aovf1 = pileup_accumulate(
-            fwd["buf"], use_fwd, fwd["target"], ref_cnt, alt_cnt)
+            dix_t, fwd["buf"], use_fwd, fwd["target"], ref_cnt, alt_cnt)
         ref_cnt, alt_cnt, aovf2 = pileup_accumulate(
-            rev["buf"], use_rev, rev["target"], ref_cnt, alt_cnt)
+            dix_t, rev["buf"], use_rev, rev["target"], ref_cnt, alt_cnt)
 
         stats = {("fwd_" + k): v for k, v in fwd["stats"].items()}
         stats.update({("rev_" + k): v for k, v in rev["stats"].items()})

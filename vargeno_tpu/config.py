@@ -63,11 +63,11 @@ class GenoConfig:
     batch_reads: int = 4096        # reads per device batch
     max_read_len: int = 128        # padded read length (>= read_len)
     max_kmers_per_read: int = 4    # K slots = ceil(max_read_len/32)
-    events_per_read: int = 160     # compacted hit-context capacity per read
+    events_per_read: int = 96      # compacted hit-context capacity per read
     candidates_per_read: int = 32  # distinct candidate positions in the vote table
-    neighbor_item_frac: float = 0.5  # cap on low-quality kmers per batch, xB*K
-    probe_hit_cap: int = 48        # compacted neighbor probe hits per item
-    agree_cap: int = 48            # agreeing contexts per read for pileup
+    neighbor_item_frac: float = 0.0625  # cap on low-qual kmers per batch, xB*K
+    probe_hit_cap: int = 32        # compacted neighbor probe hits per item
+    agree_cap: int = 16            # agreeing contexts per read for pileup
     replicate_stride_bug: bool = True  # qv.cc:359/448 pointer-arith bug
 
     # --- distribution ---

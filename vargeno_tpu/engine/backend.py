@@ -59,23 +59,24 @@ class LocalBackend:
         self.S = block_size_threshold
         self.scan_slots = block_size_threshold
 
-    # --- exact queries ---
+    # --- exact queries (one bucket-row gather per probe; hashtable.py) ---
 
     def exact_ref(self, q_hi, q_lo):
         """(hit, pos, flag)"""
+        from .hashtable import ht_lookup
+
         d = self.dix
-        row, hit = search.exact_query(d.ref_hi, d.ref_lo, q_hi, q_lo)
-        pos = jnp.take(d.ref_pos, row, axis=0, mode="clip")
-        flag = jnp.take(d.ref_flag, row, axis=0, mode="clip")
+        hit, pos, flag, _ = ht_lookup(d.ref_ht, d.ref_ht_nb, d.ref_ht_chain,
+                                      q_hi, q_lo)
         return hit, pos, flag
 
     def exact_snp(self, q_hi, q_lo):
         """(hit, pos, info, flag)"""
+        from .hashtable import ht_lookup
+
         d = self.dix
-        row, hit = search.exact_query(d.snp_hi, d.snp_lo, q_hi, q_lo)
-        pos = jnp.take(d.snp_pos, row, axis=0, mode="clip")
-        info = jnp.take(d.snp_info, row, axis=0, mode="clip")
-        flag = jnp.take(d.snp_flag, row, axis=0, mode="clip")
+        hit, pos, flag, info = ht_lookup(d.snp_ht, d.snp_ht_nb,
+                                         d.snp_ht_chain, q_hi, q_lo)
         return hit, pos, info, flag
 
     def ref_block_size(self, q_hi):

@@ -87,7 +87,8 @@ def _get_base(hi, lo, i):
 
 def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                          return_debug: bool = False,
-                         backend_factory: Optional[Callable] = None):
+                         backend_factory: Optional[Callable] = None,
+                         _ablate: str = ""):
     """Build the jitted per-batch step.
 
     step(codes(B,L)u8, n_kmers(B,)i32, qual(B,K)u8, ref_cnt(s,), alt_cnt(s,))
@@ -397,67 +398,82 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         buf = {k: v[:, :E] for k, v in buf.items()}
 
+        if _ablate == "no_vote":
+            stats = dict(ni_overflow=ni_overflow, probe_overflow=ph_overflow,
+                         event_overflow=ev_overflow,
+                         cand_overflow=jnp.zeros((), I32),
+                         snp_scan_overflow=scan_ovf)
+            return dict(buf=buf, process=jnp.zeros(B, bool),
+                        target=jnp.zeros(B, U32), read_ok=read_ok,
+                        stats=stats)
+
         # ---- vote scan (improved_index_table_add, qv.cc:132-178) ----
+        # carry: candidate table + live best state. All per-step lookups are
+        # one-hot reductions over the C axis (no gathers: TPU gathers are
+        # HBM-latency bound, masked reductions ride the VPU).
         cand_idx = jnp.zeros((B, C), U32)
         cand_freq = jnp.zeros((B, C), I32)
         cand_kmask = jnp.zeros((B, C), U32)
         n_cand = jnp.zeros(B, I32)
         best = jnp.full(B, -1, I32)
+        best_freq = jnp.zeros(B, I32)   # live freq of `best` (carried)
+        best_idx = jnp.zeros(B, U32)    # index value of `best`
         amb = jnp.zeros(B, bool)
         cand_ovf = jnp.zeros((), I32)
 
-        carry = (cand_idx, cand_freq, cand_kmask, n_cand, best, amb,
-                 cand_ovf)
+        carry = (cand_idx, cand_freq, cand_kmask, n_cand, best, best_freq,
+                 best_idx, amb, cand_ovf)
         ev_seq = tuple(jnp.moveaxis(buf[f], 1, 0)
                        for f in ("idx", "k", "isnb", "valid"))
+        c_iota = jnp.arange(C, dtype=I32)[None, :]
 
         def vote_step(carry, ev):
-            (cidx, cfreq, ckm, ncand, best, amb, covf) = carry
+            (cidx, cfreq, ckm, ncand, best, bfreq, bidx, amb, covf) = carry
             e_idx, e_k, e_isnb, e_val = ev
-            used = jnp.arange(C)[None, :] < ncand[:, None]
+            used = c_iota < ncand[:, None]
             match = used & (cidx == e_idx[:, None])
             found = jnp.any(match, axis=1)
-            fslot = jnp.argmax(match, axis=1).astype(I32)
             accept = e_val & (found | ~e_isnb)
             can_ins = ncand < C
             insert = accept & ~found
-            slot = jnp.where(found, fslot, jnp.minimum(ncand, C - 1))
             eff = accept & (found | can_ins)
-            onehot = (jnp.arange(C)[None, :] == slot[:, None]) & eff[:, None]
+            ins_hot = (c_iota == ncand[:, None]) & (insert & can_ins)[:, None]
+            onehot = (match & accept[:, None]) | ins_hot
             cidx = jnp.where(onehot, e_idx[:, None], cidx)
             cfreq = cfreq + onehot.astype(I32)
-            ckm = ckm | jnp.where(
+            ckm_new = ckm | jnp.where(
                 onehot, U32(1) << e_k[:, None].astype(U32), U32(0))
             ncand = ncand + (insert & can_ins).astype(I32)
             covf = covf + jnp.sum(insert & ~can_ins)
 
-            elig = jax.lax.population_count(
-                ckm[jnp.arange(B), slot]).astype(I32) >= 2
+            # f, eligibility via one-hot reductions
+            f = jnp.sum(jnp.where(onehot, cfreq, 0), axis=1)
+            km_sel = jnp.sum(jnp.where(onehot, ckm_new, U32(0)), axis=1)
+            elig = jax.lax.population_count(km_sel).astype(I32) >= 2
             upd = eff & elig
             has_best = best >= 0
-            bslot = jnp.maximum(best, 0)
-            bf = jnp.where(has_best, cfreq[jnp.arange(B), bslot], 0)
-            f = cfreq[jnp.arange(B), slot]
-            new_best = jnp.where(
-                ~has_best, slot,
-                jnp.where(slot == best, best,
-                          jnp.where(f > bf, slot, best)))
-            new_amb = jnp.where(
-                ~has_best, False,
-                jnp.where(slot == best, False,
-                          jnp.where(f == bf, True,
-                                    jnp.where(f > bf, False, amb))))
-            best = jnp.where(upd, new_best, best)
-            amb = jnp.where(upd, new_amb, amb)
-            return (cidx, cfreq, ckm, ncand, best, amb, covf), None
+            is_best = eff & (e_idx == bidx) & has_best
+            # keep bfreq live: +1 whenever the best candidate's freq grew
+            bfreq = bfreq + is_best.astype(I32)
+            ckm = ckm_new
+
+            slot = jnp.sum(jnp.where(onehot, c_iota, 0), axis=1)
+            take_new = upd & (~has_best | (~is_best & (f > bfreq)))
+            set_amb = upd & has_best & ~is_best & (f == bfreq)
+            clr_amb = upd & (is_best | ~has_best | (f > bfreq))
+            best = jnp.where(take_new, slot, best)
+            bidx = jnp.where(take_new, e_idx, bidx)
+            bfreq = jnp.where(take_new, f, bfreq)
+            amb = jnp.where(set_amb, True, jnp.where(clr_amb, False, amb))
+            return (cidx, cfreq, ckm, ncand, best, bfreq, bidx, amb,
+                    covf), None
 
         carry, _ = jax.lax.scan(vote_step, carry, ev_seq)
-        (cand_idx, cand_freq, cand_kmask, n_cand, best, amb, cand_ovf) = carry
+        (cand_idx, cand_freq, cand_kmask, n_cand, best, best_freq, best_idx,
+         amb, cand_ovf) = carry
 
         has_best = best >= 0
-        bslot = jnp.maximum(best, 0)
-        best_freq = jnp.where(has_best, cand_freq[jnp.arange(B), bslot], 0)
-        target = jnp.where(has_best, cand_idx[jnp.arange(B), bslot], U32(0))
+        target = jnp.where(has_best, best_idx, U32(0))
         process = has_best & (best_freq > 1) & ~amb
 
         stats = dict(ni_overflow=ni_overflow, probe_overflow=ph_overflow,
@@ -493,16 +509,25 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         i = jnp.arange(32, dtype=I32)[None, None, :]
         pos = a_kpos[..., None] + i.astype(U32)
         active = a_valid[..., None] & (i != a_modif[..., None])
-        srow = search.lower_bound(
-            dix.site_pos, jnp.zeros_like(dix.site_pos),
-            pos, jnp.zeros(pos.shape, U32))
+        # O(1) site lookup: one gather of [bitmap_word, rank] + popcount
+        # (replaces a 23-round binary search per base lane)
         n_sites = dix.site_pos.shape[0]
-        src = jnp.minimum(srow, max(n_sites - 1, 0))
-        is_site = active & (srow < n_sites) & (take(dix.site_pos, src)
-                                               == pos)
+        nwords = dix.site_dir.shape[0]
+        word_i = jnp.minimum((pos >> 5).astype(I32), nwords - 1)
+        dirw = take(dix.site_dir, word_i)          # (..., 2)
+        w = dirw[..., 0]
+        bit = (pos & U32(31))
+        in_map = (pos >> 5).astype(I32) < nwords
+        hit_bit = ((w >> bit) & U32(1)) != 0
+        low_mask = (U32(1) << bit) - U32(1)
+        src = (dirw[..., 1].astype(I32)
+               + jax.lax.population_count(w & low_mask).astype(I32))
+        src = jnp.minimum(src, max(n_sites - 1, 0))
+        is_site = active & in_map & hit_bit
         base = _get_base(a_nbhi[..., None], a_nblo[..., None], i)
-        sref = take(dix.site_ref, src)
-        salt = take(dix.site_alt, src)
+        ra = take(dix.site_ra, src)
+        sref = (ra & U32(0xFF)).astype(jnp.uint8)
+        salt = ((ra >> 8) & U32(0xFF)).astype(jnp.uint8)
         add_ref = is_site & (base == sref)
         add_alt = is_site & ~add_ref & (base == salt)
         dump = jnp.int32(n_sites)
@@ -533,10 +558,13 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         use_fwd = fwd["process"]
         use_rev = ~fwd["process"] & fwd["read_ok"] & rev["process"]
 
-        ref_cnt, alt_cnt, aovf1 = pileup_accumulate(
-            dix_t, fwd["buf"], use_fwd, fwd["target"], ref_cnt, alt_cnt)
-        ref_cnt, alt_cnt, aovf2 = pileup_accumulate(
-            dix_t, rev["buf"], use_rev, rev["target"], ref_cnt, alt_cnt)
+        if _ablate == "no_pileup":
+            aovf1 = aovf2 = jnp.zeros((), I32)
+        else:
+            ref_cnt, alt_cnt, aovf1 = pileup_accumulate(
+                dix_t, fwd["buf"], use_fwd, fwd["target"], ref_cnt, alt_cnt)
+            ref_cnt, alt_cnt, aovf2 = pileup_accumulate(
+                dix_t, rev["buf"], use_rev, rev["target"], ref_cnt, alt_cnt)
 
         stats = {("fwd_" + k): v for k, v in fwd["stats"].items()}
         stats.update({("rev_" + k): v for k, v in rev["stats"].items()})

@@ -50,9 +50,22 @@ class DeviceIndex:
     site_ref: jax.Array    # (s,) u8
     site_alt: jax.Array    # (s,) u8
     site_bitmap: jax.Array  # (ceil((max_pos+33)/32),) u32
+    site_rank: jax.Array   # (nwords,) i32: # of site bits before each word
+    # (succinct rank directory: site_id(pos) = site_rank[pos>>5] +
+    #  popcount(bitmap[pos>>5] & low_mask), replacing binary search in the
+    #  pileup scatter -- the TPU analog of sdsl's rank_support_v)
+    site_dir: jax.Array    # (nwords, 2) u32 [bitmap_word, rank]: one-gather
+    site_ra: jax.Array     # (s,) u32 ref | alt<<8: one-gather allele pair
+    # bucketized hash tables for exact lookups (engine.hashtable)
+    ref_ht: jax.Array      # (nb_r, 32) u32
+    snp_ht: jax.Array      # (nb_s, 32) u32
     # static metadata
     snp_bf_bits: int = dataclasses.field(metadata=dict(static=True))
     ref_bf_bits: int = dataclasses.field(metadata=dict(static=True))
+    ref_ht_nb: int = dataclasses.field(metadata=dict(static=True))
+    ref_ht_chain: int = dataclasses.field(metadata=dict(static=True))
+    snp_ht_nb: int = dataclasses.field(metadata=dict(static=True))
+    snp_ht_chain: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_ref(self) -> int:
@@ -82,6 +95,9 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
     sp = sites.pos.astype(np.int64)
     np.bitwise_or.at(bitmap, sp >> 5,
                      (np.uint32(1) << (sp & 31).astype(np.uint32)))
+    pc = np.bitwise_count(bitmap).astype(np.int64)
+    site_rank = np.concatenate([[0], np.cumsum(pc)[:-1]]).astype(np.int32)
+    site_dir = np.stack([bitmap, site_rank.view(np.uint32)], axis=1)
 
     def u32pair(k):
         return ((k >> np.uint64(32)).astype(np.uint32),
@@ -120,9 +136,20 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
     site_pos_a = pad1(sites.pos, 0xFFFFFFFF)
     site_ref_a = pad1(sites.ref, 0)
     site_alt_a = pad1(sites.alt, 0)
+    site_ra = (site_ref_a.astype(np.uint32)
+               | (site_alt_a.astype(np.uint32) << np.uint32(8)))
+
+    from .hashtable import build_hash_table
+
+    ref_tab = build_hash_table(ref_hi, ref_lo, ref_pos_a, ref_flag_a, None)
+    snp_tab = build_hash_table(snp_hi, snp_lo, snp_pos_a, snp_flag_a,
+                               snp_info_a)
 
     dev = jax.device_put
     return DeviceIndex(
+        ref_ht=dev(ref_tab.table), snp_ht=dev(snp_tab.table),
+        ref_ht_nb=ref_tab.nb, ref_ht_chain=ref_tab.chain,
+        snp_ht_nb=snp_tab.nb, snp_ht_chain=snp_tab.chain,
         ref_hi=dev(ref_hi), ref_lo=dev(ref_lo),
         ref_pos=dev(ref_pos_a), ref_flag=dev(ref_flag_a),
         ref_aux=dev(ref_aux_a),
@@ -136,6 +163,9 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
         site_pos=dev(site_pos_a), site_ref=dev(site_ref_a),
         site_alt=dev(site_alt_a),
         site_bitmap=dev(bitmap),
+        site_rank=dev(site_rank),
+        site_dir=dev(site_dir),
+        site_ra=dev(site_ra),
         snp_bf_bits=index.snp_bf.bits,
         ref_bf_bits=index.ref_bf.bits,
     )

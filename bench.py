@@ -20,9 +20,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-CACHE = "/tmp/vgt_bench"
+CACHE = "/tmp/vgt_bench48"
 N_READS = 262_144
-GENOME_MB = 8
+GENOME_MB = 48
+N_SNPS = 500_000
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 REF_BINARY = "/tmp/refbuild/vargeno"
@@ -41,7 +42,7 @@ def build_dataset():
     rng = np.random.default_rng(20260817)
     genome = synth_genome(rng, sizes=(GENOME_MB * 1_000_000,),
                           names=("chrB1",))
-    write_inputs(CACHE, rng, genome, n_snps=40_000, n_reads=N_READS,
+    write_inputs(CACHE, rng, genome, n_snps=N_SNPS, n_reads=N_READS,
                  err_frac=0.15)
     open(marker, "w").write("ok")
     return fa, vcf, fq
@@ -96,42 +97,29 @@ def main():
     ref_rate = measure_reference(fa, vcf, fq)
 
     import jax
-    import jax.numpy as jnp
 
     from vargeno_tpu.config import GenoConfig
-    from vargeno_tpu.engine.batch import make_batch_processor
-    from vargeno_tpu.engine.device_index import build_device_index
-    from vargeno_tpu.io.fastq import iter_read_batches
+    from vargeno_tpu.engine.geno import GenoRunner
 
     index = build_index(fa, vcf)
     cfg = GenoConfig(batch_reads=8192, max_read_len=128,
-                     max_kmers_per_read=4)
-    dix = build_device_index(index)
-    step = make_batch_processor(dix, cfg)
-    n = dix.n_sites
-    ref_cnt = jnp.zeros(n + 1, jnp.int32)
-    alt_cnt = jnp.zeros(n + 1, jnp.int32)
+                     max_kmers_per_read=4, pallas_vote=True)
+    runner = GenoRunner(index, cfg, queued_orientation=True)
 
-    # preload all batches to host memory (IO excluded from the device metric)
-    batches = list(iter_read_batches(fq, cfg.batch_reads, cfg.max_read_len,
-                                     cfg.max_kmers_per_read))
-    # warmup/compile
-    b = batches[0]
-    ref_cnt, alt_cnt, stats = step(jnp.asarray(b.codes),
-                                   jnp.asarray(b.n_kmers),
-                                   jnp.asarray(b.qual), ref_cnt, alt_cnt)
-    jax.block_until_ready(ref_cnt)
+    # warm up / compile both step variants on one batch
+    runner.consume_fastq(fq, limit_batches=2)
 
     t0 = time.time()
-    nreads = 0
-    for b in batches:
-        ref_cnt, alt_cnt, stats = step(jnp.asarray(b.codes),
-                                       jnp.asarray(b.n_kmers),
-                                       jnp.asarray(b.qual), ref_cnt, alt_cnt)
-        nreads += b.n_valid
-    jax.block_until_ready(ref_cnt)
+    n0 = runner.n_reads
+    runner.consume_fastq(fq)
+    jax.block_until_ready(runner.ref_cnt)
     dt = time.time() - t0
+    nreads = runner.n_reads - n0
     rate = nreads / dt
+    ovf = {k: v for k, v in runner.stats_totals.items()
+           if "overflow" in k and v}
+    if ovf:
+        print(f"# WARNING overflows: {ovf}", file=sys.stderr)
 
     vs = rate / ref_rate if ref_rate == ref_rate else None
     print(json.dumps({

@@ -69,6 +69,8 @@ class GenoConfig:
     probe_hit_cap: int = 32        # compacted neighbor probe hits per item
     agree_cap: int = 16            # agreeing contexts per read for pileup
     replicate_stride_bug: bool = True  # qv.cc:359/448 pointer-arith bug
+    pallas_vote: bool = False      # VMEM-resident vote kernel (TPU only)
+    pallas_interpret: bool = False  # run Pallas kernels interpreted (CPU)
 
     # --- distribution ---
     data_axis: str = "data"

@@ -325,47 +325,42 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         ev_total = jnp.sum(groups, axis=-1)
         ev_overflow = jnp.sum(jnp.maximum(ev_total - E, 0))
 
-        buf = dict(
-            idx=jnp.zeros((B, E + 1), U32),
-            kpos=jnp.zeros((B, E + 1), U32),
-            nbhi=jnp.zeros((B, E + 1), U32),
-            nblo=jnp.zeros((B, E + 1), U32),
-            modif=jnp.full((B, E + 1), _NO_MOD, I32),
-            k=jnp.zeros((B, E + 1), I32),
-            isnb=jnp.zeros((B, E + 1), bool),
-            valid=jnp.zeros((B, E + 1), bool),
-        )
+        # One packed (B, E+1, 5) u32 buffer so every event group lands with
+        # a single scatter (8 narrow scatters fused into one wide one):
+        # words [idx, kpos, nbhi, nblo, meta] with
+        # meta = modif | k<<16 | isnb<<24 | valid<<25
+        packed = jnp.zeros((B, E + 1, 5), U32)
         rows_b = jnp.arange(B)[:, None, None]
 
-        def scatter_group(buf, kpos, valid, group_idx, nbhi, nblo, modif,
-                          isnb, kslot):
+        def scatter_group(packed, kpos, valid, group_idx, nbhi, nblo, modif,
+                          is_nb: bool, kslot):
             rank = jnp.cumsum(valid, axis=-1) - 1
             base = jnp.take_along_axis(goff, group_idx, axis=-1)
             e = base[..., None] + rank
             e = jnp.where(valid & (e < E), e, E)
-            buf["idx"] = buf["idx"].at[rows_b, e].set(
-                kpos - (kslot * 32).astype(U32)[..., None], mode="drop")
-            buf["kpos"] = buf["kpos"].at[rows_b, e].set(kpos, mode="drop")
-            buf["nbhi"] = buf["nbhi"].at[rows_b, e].set(
-                jnp.broadcast_to(nbhi[..., None], kpos.shape), mode="drop")
-            buf["nblo"] = buf["nblo"].at[rows_b, e].set(
-                jnp.broadcast_to(nblo[..., None], kpos.shape), mode="drop")
-            buf["modif"] = buf["modif"].at[rows_b, e].set(
-                jnp.broadcast_to(modif[..., None], kpos.shape), mode="drop")
-            buf["k"] = buf["k"].at[rows_b, e].set(
-                jnp.broadcast_to(kslot[..., None], kpos.shape), mode="drop")
-            buf["isnb"] = buf["isnb"].at[rows_b, e].set(
-                jnp.broadcast_to(jnp.asarray(isnb), kpos.shape), mode="drop")
-            buf["valid"] = buf["valid"].at[rows_b, e].set(valid, mode="drop")
-            return buf
+            shp = kpos.shape
+            meta = (jnp.broadcast_to(modif.astype(U32)[..., None], shp)
+                    | (jnp.broadcast_to(kslot.astype(U32)[..., None],
+                                        shp) << 16)
+                    | (U32((1 << 24) if is_nb else 0))
+                    | (valid.astype(U32) << 25))
+            words = jnp.stack([
+                kpos - (kslot * 32).astype(U32)[..., None],
+                kpos,
+                jnp.broadcast_to(nbhi[..., None], shp),
+                jnp.broadcast_to(nblo[..., None], shp),
+                meta,
+            ], axis=-1)
+            return packed.at[rows_b, e].set(words, mode="drop")
 
         kslot_arr = jnp.broadcast_to(jnp.arange(K, dtype=I32)[None, :],
                                      (B, K))
         g_exr = jnp.broadcast_to((3 * jnp.arange(K))[None, :], (B, K))
-        buf = scatter_group(buf, exr_kpos, exr_valid, g_exr, hi, lo,
-                            jnp.full((B, K), _NO_MOD), False, kslot_arr)
-        buf = scatter_group(buf, exs_kpos, exs_valid, g_exr + 1, hi, lo,
-                            jnp.full((B, K), _NO_MOD), False, kslot_arr)
+        no_mod = jnp.full((B, K), _NO_MOD)
+        packed = scatter_group(packed, exr_kpos, exr_valid, g_exr, hi, lo,
+                               no_mod, False, kslot_arr)
+        packed = scatter_group(packed, exs_kpos, exs_valid, g_exr + 1, hi,
+                               lo, no_mod, False, kslot_arr)
 
         # neighbor events: (NI, H, 10); within-item order = (probe, col)
         nb_rank = (jnp.cumsum(nb_valid.reshape(NI, -1), axis=-1) - 1)
@@ -382,23 +377,29 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         kpos_nb = nb_kpos.reshape(NI, -1)
         off_nb = nb_field(
             jnp.broadcast_to((it_k * 32)[:, None], (NI, H))).astype(U32)
-        buf["idx"] = buf["idx"].at[b_nb, e_nb].set(
-            kpos_nb - off_nb, mode="drop")
-        buf["kpos"] = buf["kpos"].at[b_nb, e_nb].set(kpos_nb, mode="drop")
-        buf["nbhi"] = buf["nbhi"].at[b_nb, e_nb].set(
-            nb_field(c_nb_hi), mode="drop")
-        buf["nblo"] = buf["nblo"].at[b_nb, e_nb].set(
-            nb_field(c_nb_lo), mode="drop")
-        buf["modif"] = buf["modif"].at[b_nb, e_nb].set(
-            nb_field(c_diff), mode="drop")
-        buf["k"] = buf["k"].at[b_nb, e_nb].set(
-            nb_field(jnp.broadcast_to(it_k[:, None], (NI, H))), mode="drop")
-        buf["isnb"] = buf["isnb"].at[b_nb, e_nb].set(True, mode="drop")
-        buf["valid"] = buf["valid"].at[b_nb, e_nb].set(v_nb, mode="drop")
+        meta_nb = (nb_field(c_diff).astype(U32)
+                   | (nb_field(jnp.broadcast_to(
+                       it_k[:, None], (NI, H))).astype(U32) << 16)
+                   | (U32(1) << 24)
+                   | (v_nb.astype(U32) << 25))
+        words_nb = jnp.stack([kpos_nb - off_nb, kpos_nb,
+                              nb_field(c_nb_hi), nb_field(c_nb_lo),
+                              meta_nb], axis=-1)
+        packed = packed.at[b_nb, e_nb].set(words_nb, mode="drop")
 
-        buf = {k: v[:, :E] for k, v in buf.items()}
+        pk = packed[:, :E]
+        buf = dict(
+            idx=pk[..., 0],
+            kpos=pk[..., 1],
+            nbhi=pk[..., 2],
+            nblo=pk[..., 3],
+            modif=(pk[..., 4] & U32(0xFFFF)).astype(I32),
+            k=((pk[..., 4] >> 16) & U32(0xFF)).astype(I32),
+            isnb=((pk[..., 4] >> 24) & U32(1)) != 0,
+            valid=((pk[..., 4] >> 25) & U32(1)) != 0,
+        )
 
-        if _ablate == "no_vote":
+        if _ablate in ("no_vote", "events"):
             stats = dict(ni_overflow=ni_overflow, probe_overflow=ph_overflow,
                          event_overflow=ev_overflow,
                          cand_overflow=jnp.zeros((), I32),
@@ -425,6 +426,21 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                  best_idx, amb, cand_ovf)
         ev_seq = tuple(jnp.moveaxis(buf[f], 1, 0)
                        for f in ("idx", "k", "isnb", "valid"))
+
+        if cfg.pallas_vote:
+            from .pallas_vote import vote_scan_pallas
+
+            process, target, cand_ovf = vote_scan_pallas(
+                ev_seq[0], ev_seq[1], ev_seq[2], ev_seq[3], C,
+                interpret=cfg.pallas_interpret)
+            stats = dict(ni_overflow=ni_overflow,
+                         probe_overflow=ph_overflow,
+                         event_overflow=ev_overflow,
+                         cand_overflow=cand_ovf,
+                         snp_scan_overflow=scan_ovf)
+            return dict(buf=buf, process=process, target=target,
+                        read_ok=read_ok, stats=stats)
+
         c_iota = jnp.arange(C, dtype=I32)[None, :]
 
         def vote_step(carry, ev):
@@ -506,37 +522,69 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         a_nblo = compact(buf["nblo"], U32(0))
         a_modif = compact(buf["modif"], _NO_MOD)
 
-        i = jnp.arange(32, dtype=I32)[None, None, :]
-        pos = a_kpos[..., None] + i.astype(U32)
-        active = a_valid[..., None] & (i != a_modif[..., None])
-        # O(1) site lookup: one gather of [bitmap_word, rank] + popcount
-        # (replaces a 23-round binary search per base lane)
+        # A context covers 32 CONSECUTIVE genome positions, so its site
+        # membership lives in just two bitmap words: fetch [bitmap, rank]
+        # for both words once per context (2 small gathers), then derive
+        # per-base membership and site ids with pure vector math.
         n_sites = dix.site_pos.shape[0]
         nwords = dix.site_dir.shape[0]
-        word_i = jnp.minimum((pos >> 5).astype(I32), nwords - 1)
-        dirw = take(dix.site_dir, word_i)          # (..., 2)
-        w = dirw[..., 0]
-        bit = (pos & U32(31))
-        in_map = (pos >> 5).astype(I32) < nwords
-        hit_bit = ((w >> bit) & U32(1)) != 0
+        w0 = (a_kpos >> 5).astype(I32)                       # (B, A)
+        off = (a_kpos & U32(31)).astype(I32)
+        d0 = take(dix.site_dir, jnp.minimum(w0, nwords - 1))
+        d1 = take(dix.site_dir, jnp.minimum(w0 + 1, nwords - 1))
+        bm0, rk0 = d0[..., 0], d0[..., 1].astype(I32)
+        bm1, rk1 = d1[..., 0], d1[..., 1].astype(I32)
+        ok0 = w0 < nwords
+        ok1 = (w0 + 1) < nwords
+        bm0 = jnp.where(ok0, bm0, U32(0))
+        bm1 = jnp.where(ok1, bm1, U32(0))
+
+        i = jnp.arange(32, dtype=I32)[None, None, :]
+        active = a_valid[..., None] & (i != a_modif[..., None])
+        oi = off[..., None] + i                               # (B, A, 32)
+        in_w1 = oi >= 32
+        bit = (oi & 31).astype(U32)
+        bm = jnp.where(in_w1, bm1[..., None], bm0[..., None])
+        rk = jnp.where(in_w1, rk1[..., None], rk0[..., None])
+        hit_bit = ((bm >> bit) & U32(1)) != 0
+        is_site = active & hit_bit
         low_mask = (U32(1) << bit) - U32(1)
-        src = (dirw[..., 1].astype(I32)
-               + jax.lax.population_count(w & low_mask).astype(I32))
+        src = rk + jax.lax.population_count(bm & low_mask).astype(I32)
         src = jnp.minimum(src, max(n_sites - 1, 0))
-        is_site = active & in_map & hit_bit
-        base = _get_base(a_nbhi[..., None], a_nblo[..., None], i)
-        ra = take(dix.site_ra, src)
+
+        # compact actual site hits (a handful per read) before touching the
+        # per-site arrays, then one small gather + scatter-add
+        G = 8
+        flat_hits = is_site.reshape(B, A * 32)
+        gtgt = jnp.cumsum(flat_hits.astype(I32), axis=1) - 1
+        gkeep = flat_hits & (gtgt < G)
+        site_ovf = jnp.sum(flat_hits) - jnp.sum(gkeep)
+        growl = jnp.arange(B)[:, None]
+        gscat = jnp.where(gkeep, gtgt, G)
+        base = _get_base(a_nbhi[..., None], a_nblo[..., None],
+                         i).reshape(B, A * 32)
+
+        def gcompact(a, fill, dtype):
+            out = jnp.full((B, G + 1), fill, dtype)
+            out = out.at[growl, gscat].set(a.astype(dtype), mode="drop")
+            return out[:, :G]
+
+        g_valid = gcompact(gkeep, False, bool)
+        g_src = gcompact(src.reshape(B, A * 32), 0, I32)
+        g_base = gcompact(base, 0, jnp.uint8)
+
+        ra = take(dix.site_ra, g_src)
         sref = (ra & U32(0xFF)).astype(jnp.uint8)
         salt = ((ra >> 8) & U32(0xFF)).astype(jnp.uint8)
-        add_ref = is_site & (base == sref)
-        add_alt = is_site & ~add_ref & (base == salt)
+        add_ref = g_valid & (g_base == sref)
+        add_alt = g_valid & ~add_ref & (g_base == salt)
         dump = jnp.int32(n_sites)
-        tgt_row = jnp.where(is_site, src, dump).reshape(-1)
+        tgt_row = jnp.where(g_valid, g_src, dump).reshape(-1)
         ref_cnt = ref_cnt.at[tgt_row].add(
             add_ref.reshape(-1).astype(I32), mode="drop")
         alt_cnt = alt_cnt.at[tgt_row].add(
             add_alt.reshape(-1).astype(I32), mode="drop")
-        return ref_cnt, alt_cnt, agree_ovf
+        return ref_cnt, alt_cnt, agree_ovf + site_ovf
 
     # ------------------------------------------------------------------
     def step(dix_t, codes, n_kmers, qual, ref_cnt, alt_cnt):
@@ -578,11 +626,35 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
             return ref_cnt, alt_cnt, stats, debug
         return ref_cnt, alt_cnt, stats
 
+    # ------------------------------------------------------------------
+    def step_single(dix_t, codes, n_kmers, qual, ref_cnt, alt_cnt):
+        """One orientation only: pileup for processed reads, and report
+        (process, read_ok) so the host can queue reverse-complement retries
+        (reference: only failed forward reads are reprocessed,
+        qv.cc:1504-1510). Reverse batches are fed as pre-complemented codes.
+        """
+        be = backend_factory(dix_t)
+        res = orientation_pass(dix_t, be, codes, n_kmers, qual)
+        ref_cnt, alt_cnt, aovf = pileup_accumulate(
+            dix_t, res["buf"], res["process"], res["target"], ref_cnt,
+            alt_cnt)
+        stats = dict(res["stats"])
+        stats["agree_overflow"] = aovf
+        stats["n_processed"] = jnp.sum(res["process"])
+        return (ref_cnt, alt_cnt, res["process"], res["read_ok"], stats)
+
     jitted = jax.jit(step, donate_argnums=(4, 5))
+    jitted_single = jax.jit(step_single, donate_argnums=(4, 5))
 
     def run(codes, n_kmers, qual, ref_cnt, alt_cnt):
         return jitted(host_dix, codes, n_kmers, qual, ref_cnt, alt_cnt)
 
+    def run_single(codes, n_kmers, qual, ref_cnt, alt_cnt):
+        return jitted_single(host_dix, codes, n_kmers, qual, ref_cnt,
+                             alt_cnt)
+
     run.raw = step          # unjitted (dix, codes, ...) for shard_map use
+    run.single = run_single
+    run.raw_single = step_single
     run.shapes = sh
     return run

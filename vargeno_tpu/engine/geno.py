@@ -24,12 +24,23 @@ from .device_index import build_device_index
 
 
 class GenoRunner:
+    """Single-device geno.
+
+    ``queued_orientation=True`` (default) runs each read forward once and
+    queues only failed reads' reverse complements into later batches,
+    mirroring the reference's retry-on-failure (qv.cc:1504-1510) at ~1.5x
+    less device work than inlining both orientations every batch. Results
+    are bit-identical either way (counts are order-independent).
+    """
+
     def __init__(self, index: store.VarGenoIndex,
-                 config: GenoConfig = DEFAULT_CONFIG):
+                 config: GenoConfig = DEFAULT_CONFIG,
+                 queued_orientation: bool = True):
         self.index = index
         self.config = config
         self.dix = build_device_index(index)
         self.step = make_batch_processor(self.dix, config)
+        self.queued = queued_orientation
         n = self.dix.n_sites
         self.ref_cnt = jnp.zeros(n + 1, jnp.int32)
         self.alt_cnt = jnp.zeros(n + 1, jnp.int32)
@@ -53,24 +64,30 @@ class GenoRunner:
                 self.alt_cnt = jnp.asarray(ac)
                 skip = meta["n_reads"]
                 self.n_reads = skip
-        for batch in iter_read_batches(fastq_path, cfg.batch_reads,
-                                       cfg.max_read_len,
-                                       cfg.max_kmers_per_read,
-                                       skip_reads=skip):
-            self.ref_cnt, self.alt_cnt, stats = self.step(
-                jnp.asarray(batch.codes), jnp.asarray(batch.n_kmers),
-                jnp.asarray(batch.qual), self.ref_cnt, self.alt_cnt)
-            self.n_reads += batch.n_valid
-            for k, v in stats.items():
-                self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
-            nb += 1
-            if checkpoint_path and nb % checkpoint_every == 0:
-                from . import checkpoint as ckpt
+        if self.queued:
+            consumed = self._consume_queued(fastq_path, skip, limit_batches,
+                                            checkpoint_path,
+                                            checkpoint_every)
+        else:
+            for batch in iter_read_batches(fastq_path, cfg.batch_reads,
+                                           cfg.max_read_len,
+                                           cfg.max_kmers_per_read,
+                                           skip_reads=skip):
+                self.ref_cnt, self.alt_cnt, stats = self.step(
+                    jnp.asarray(batch.codes), jnp.asarray(batch.n_kmers),
+                    jnp.asarray(batch.qual), self.ref_cnt, self.alt_cnt)
+                self.n_reads += batch.n_valid
+                for k, v in stats.items():
+                    self.stats_totals[k] = self.stats_totals.get(k, 0) \
+                        + int(v)
+                nb += 1
+                if checkpoint_path and nb % checkpoint_every == 0:
+                    from . import checkpoint as ckpt
 
-                ckpt.save(checkpoint_path, self.ref_cnt, self.alt_cnt,
-                          self.n_reads)
-            if limit_batches and nb >= limit_batches:
-                break
+                    ckpt.save(checkpoint_path, self.ref_cnt, self.alt_cnt,
+                              self.n_reads)
+                if limit_batches and nb >= limit_batches:
+                    break
         if checkpoint_path:
             from . import checkpoint as ckpt
 
@@ -82,6 +99,98 @@ class GenoRunner:
             import warnings
             warnings.warn(f"engine capacity overflows (results may diverge "
                           f"from reference): {overflow}")
+
+    def _bump(self, stats):
+        for k, v in stats.items():
+            self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
+
+    def _consume_queued(self, fastq_path, skip, limit_batches,
+                        checkpoint_path, checkpoint_every):
+        cfg = self.config
+        B = cfg.batch_reads
+        pend_codes = []
+        pend_nk = []
+        pend_qual = []
+        pend_n = 0
+        nb = 0
+
+        def run_one(codes, nk, qual, count_reads):
+            nonlocal nb, pend_n
+            (self.ref_cnt, self.alt_cnt, process, read_ok,
+             stats) = self.step.single(
+                jnp.asarray(codes), jnp.asarray(nk), jnp.asarray(qual),
+                self.ref_cnt, self.alt_cnt)
+            self.n_reads += count_reads
+            self._bump(stats)
+            nb += 1
+            return np.asarray(process), np.asarray(read_ok)
+
+        def enqueue_failures(codes, nk, qual, n_valid, process, read_ok):
+            nonlocal pend_n
+            retry = (~process) & read_ok & (nk > 0)
+            retry[n_valid:] = False
+            if not retry.any():
+                return
+            sel = np.flatnonzero(retry)
+            c = codes[sel]
+            k = nk[sel]
+            length = k * 32
+            L = c.shape[1]
+            # reverse-complement the first length bases (qv.cc:787-806)
+            idx = length[:, None] - 1 - np.arange(L)[None, :]
+            valid = idx >= 0
+            g = np.take_along_axis(c, np.clip(idx, 0, L - 1), axis=1)
+            rc = np.where(g < 4, 3 - g, g)
+            rc = np.where(valid, rc, 4).astype(np.uint8)
+            pend_codes.append(rc)
+            pend_nk.append(k)
+            pend_qual.append(qual[sel])
+            pend_n += sel.size
+
+        def flush_pending(force=False):
+            nonlocal pend_n, pend_codes, pend_nk, pend_qual
+            while pend_n >= B or (force and pend_n > 0):
+                c = np.concatenate(pend_codes)
+                k = np.concatenate(pend_nk)
+                q = np.concatenate(pend_qual)
+                take, rest_c = c[:B], c[B:]
+                take_k, rest_k = k[:B], k[B:]
+                take_q, rest_q = q[:B], q[B:]
+                if take.shape[0] < B:
+                    pad = B - take.shape[0]
+                    take = np.concatenate(
+                        [take, np.full((pad, take.shape[1]), 4, np.uint8)])
+                    take_k = np.concatenate([take_k,
+                                             np.zeros(pad, np.int32)])
+                    take_q = np.concatenate(
+                        [take_q, np.zeros((pad, take_q.shape[1]),
+                                          np.uint8)])
+                run_one(take, take_k, take_q, 0)
+                pend_codes = [rest_c] if rest_c.size else []
+                pend_nk = [rest_k] if rest_k.size else []
+                pend_qual = [rest_q] if rest_q.size else []
+                pend_n = rest_k.shape[0]
+
+        for batch in iter_read_batches(fastq_path, B, cfg.max_read_len,
+                                       cfg.max_kmers_per_read,
+                                       skip_reads=skip):
+            process, read_ok = run_one(batch.codes, batch.n_kmers,
+                                       batch.qual, batch.n_valid)
+            enqueue_failures(batch.codes, batch.n_kmers, batch.qual,
+                             batch.n_valid, process, read_ok)
+            flush_pending()
+            if checkpoint_path and nb % checkpoint_every == 0:
+                # NOTE: checkpoints in queued mode are only taken with an
+                # empty retry queue to stay exact; flush first
+                flush_pending(force=True)
+                from . import checkpoint as ckpt
+
+                ckpt.save(checkpoint_path, self.ref_cnt, self.alt_cnt,
+                          self.n_reads)
+            if limit_batches and nb >= limit_batches:
+                break
+        flush_pending(force=True)
+        return nb
 
     def calls(self):
         s = self.index.sites

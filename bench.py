@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Benchmark: genotyping throughput (reads/sec/chip) on TPU.
 
-Workload: synthetic 8 Mb genome + 40K SNPs + 101bp reads at the reference's
+Workload: synthetic 48 Mb (chr22-scale) genome + 500K SNPs + 101bp reads at the reference's
 error/quality profile, streamed through the batched engine on one chip.
 Baseline: the reference binary's steady-state streaming rate measured on this
 machine (stored in bench_baseline.json; recomputed if absent and the binary

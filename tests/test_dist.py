@@ -27,7 +27,7 @@ def test_sharded_geno_matches_single_device(mini_index, tmp_path):
 
     single_cfg = GenoConfig(batch_reads=1024, max_read_len=128,
                             max_kmers_per_read=4)
-    single = GenoRunner(mini_index, single_cfg)
+    single = GenoRunner(mini_index, single_cfg, queued_orientation=False)
     single.consume_fastq(os.path.join(FIX, "reads.fq"), limit_batches=4)
 
     ref_d, alt_d = sharded._merge(sharded.ref_cnt_d, sharded.alt_cnt_d)

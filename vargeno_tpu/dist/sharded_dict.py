@@ -6,24 +6,23 @@ the sorted dictionaries are range-partitioned across the mesh:
 - the ref dictionary into D contiguous row ranges with boundaries snapped to
   hi32 jumpgate-block starts (a block never straddles shards), plus a
   stride-window tail of the following rows so the reference's small-block
-  scan stride bug (qv.cc:359: reads up to 9*(S-1) rows past the block) reads
-  the exact same cells it would in the unsharded layout;
+  scan stride bug (qv.cc:359: reads up to 9*(S-1) rows past a block start)
+  reads the exact same cells as the unsharded layout;
 - the snp dictionary likewise with hi24-snapped boundaries (11*(S-1) tail);
-- aux tables, Bloom filters and site tensors replicate (they are orders of
-  magnitude smaller).
+- aux tables, Bloom filters and site tensors replicate (orders of magnitude
+  smaller).
 
-Reads stay data-parallel on the same axis: every device streams its own
-shard of the batch and resolves each dictionary probe by routing the query
-k-mer to the owner shard with all_to_all, which answers with materialized
-row fields. Capacity per (src, dst) lane is provisioned at ~2.2x the uniform
-share (hi bits of genomic k-mers are near-uniform); truncation is counted in
-the overflow stats like every other fixed-shape cap.
+Reads stay data-parallel on the same axis: each device streams its own
+shard of the global batch and resolves every dictionary probe by routing the
+query k-mer to the owner shard with all_to_all; owners answer with
+materialized row fields. Per-(src,dst) lane capacity is ~2.2x the uniform
+share (genomic k-mer hi bits are near-uniform); truncation feeds the
+route_overflow stat.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -32,11 +31,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import GenoConfig
+from ..engine import search
 from ..engine.backend import LocalBackend, ScanResult
 from ..engine.batch import make_batch_processor
 from ..engine.device_index import DeviceIndex, build_device_index
 from ..index.store import VarGenoIndex
-from ..engine import search
 
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -48,17 +47,29 @@ SNP_TAIL = 11 * 99 + 1
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ShardPlan:
-    """Replicated routing metadata + per-device owned-row counts."""
-
     ref_bounds_hi: jax.Array    # (D,) u32: first hi32 owned by shard d
     snp_bounds_hi24: jax.Array  # (D,) u32
-    ref_owned: jax.Array        # (D,) i32 rows owned (tail excluded)
-    snp_owned: jax.Array        # (D,) i32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedIndexArg:
+    """What the sharded step receives: the local shard's DeviceIndex view
+    plus routing metadata. Attribute access falls through to the inner
+    DeviceIndex so engine.batch can use it unchanged."""
+
+    dix: DeviceIndex
+    plan: ShardPlan
+    my_ref_owned: jax.Array   # (1,) i32
+    my_snp_owned: jax.Array   # (1,) i32
+    my_ref_total: jax.Array   # (1,) i32 owned + real tail rows
+    my_snp_total: jax.Array   # (1,) i32
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "dix"), name)
 
 
 def _snap_boundaries(keys_hi: np.ndarray, D: int):
-    """Row boundaries snapped down to block starts; returns (row_bounds D+1,
-    first_hi_per_shard D)."""
     n = keys_hi.shape[0]
     rows = [0]
     for d in range(1, D):
@@ -66,144 +77,183 @@ def _snap_boundaries(keys_hi: np.ndarray, D: int):
         if t >= n:
             rows.append(n)
             continue
-        # snap to the first row of t's block
         hv = keys_hi[t]
         b = int(np.searchsorted(keys_hi, hv, side="left"))
         rows.append(max(b, rows[-1]))
     rows.append(n)
     firsts = []
     for d in range(D):
-        if rows[d] < n:
-            firsts.append(int(keys_hi[rows[d]]))
-        else:
-            firsts.append(0xFFFFFFFF)
-    firsts[0] = 0  # shard 0 owns everything below the second boundary
+        firsts.append(int(keys_hi[rows[d]]) if rows[d] < n else 0xFFFFFFFF)
+    firsts[0] = 0
     return rows, np.asarray(firsts, np.uint32)
 
 
-def partition_device_index(index: VarGenoIndex, D: int):
-    """Host-side plan: returns (stacked shard DeviceIndex arrays with a
-    leading D axis, ShardPlan). Dict arrays are per-shard (owned + tail,
-    padded to the max shard size); aux/BF/site arrays replicated."""
-    base = build_device_index(index)  # host->device of full arrays; we reuse
+def partition_index(index: VarGenoIndex, D: int):
+    """Host plan. Returns (base DeviceIndex [for replicated fields], stacked
+    per-shard arrays dict, plan, owned/total row counts)."""
+    base = build_device_index(index)
     ref_hi = np.asarray(base.ref_hi)
     snp_hi = np.asarray(base.snp_hi)
     ref_rows, ref_firsts = _snap_boundaries(ref_hi, D)
     snp_rows, snp_firsts24 = _snap_boundaries(snp_hi >> 8, D)
 
-    def shard_stack(arr, rows, tail):
+    def shard_stack(arr, rows, tail, key_fill=None):
         arr = np.asarray(arr)
         n = arr.shape[0]
         sizes = [min(rows[d + 1] + tail, n) - rows[d] for d in range(D)]
-        m = max(sizes)
-        out = np.zeros((D, m) + arr.shape[1:], arr.dtype)
+        m = max(max(sizes), 1)
+        fill = key_fill if key_fill is not None else 0
+        out = np.full((D, m) + arr.shape[1:], fill, arr.dtype)
         for d in range(D):
             seg = arr[rows[d]: min(rows[d + 1] + tail, n)]
             out[d, : seg.shape[0]] = seg
-        return out
+        return out, np.asarray(sizes, np.int32)
 
-    ref_owned = np.asarray(
-        [ref_rows[d + 1] - ref_rows[d] for d in range(D)], np.int32)
-    snp_owned = np.asarray(
-        [snp_rows[d + 1] - snp_rows[d] for d in range(D)], np.int32)
+    stacked = {}
+    stacked["ref_hi"], ref_tot = shard_stack(base.ref_hi, ref_rows,
+                                             REF_TAIL, 0xFFFFFFFF)
+    stacked["ref_lo"], _ = shard_stack(base.ref_lo, ref_rows, REF_TAIL,
+                                       0xFFFFFFFF)
+    stacked["ref_pos"], _ = shard_stack(base.ref_pos, ref_rows, REF_TAIL,
+                                        0xFFFFFFFF)
+    stacked["ref_flag"], _ = shard_stack(base.ref_flag, ref_rows, REF_TAIL,
+                                         1)
+    stacked["snp_hi"], snp_tot = shard_stack(base.snp_hi, snp_rows,
+                                             SNP_TAIL, 0xFFFFFFFF)
+    stacked["snp_lo"], _ = shard_stack(base.snp_lo, snp_rows, SNP_TAIL,
+                                       0xFFFFFFFF)
+    stacked["snp_pos"], _ = shard_stack(base.snp_pos, snp_rows, SNP_TAIL,
+                                        0xFFFFFFFF)
+    stacked["snp_info"], _ = shard_stack(base.snp_info, snp_rows, SNP_TAIL,
+                                         0)
+    stacked["snp_flag"], _ = shard_stack(base.snp_flag, snp_rows, SNP_TAIL,
+                                         1)
 
-    stacked = dict(
-        ref_hi=shard_stack(base.ref_hi, ref_rows, REF_TAIL),
-        ref_lo=shard_stack(base.ref_lo, ref_rows, REF_TAIL),
-        ref_pos=shard_stack(base.ref_pos, ref_rows, REF_TAIL),
-        ref_flag=shard_stack(base.ref_flag, ref_rows, REF_TAIL),
-        snp_hi=shard_stack(base.snp_hi, snp_rows, SNP_TAIL),
-        snp_lo=shard_stack(base.snp_lo, snp_rows, SNP_TAIL),
-        snp_pos=shard_stack(base.snp_pos, snp_rows, SNP_TAIL),
-        snp_info=shard_stack(base.snp_info, snp_rows, SNP_TAIL),
-        snp_flag=shard_stack(base.snp_flag, snp_rows, SNP_TAIL),
-    )
-    plan = ShardPlan(
-        ref_bounds_hi=jnp.asarray(ref_firsts),
-        snp_bounds_hi24=jnp.asarray(snp_firsts24),
-        ref_owned=jnp.asarray(ref_owned),
-        snp_owned=jnp.asarray(snp_owned))
-    return base, stacked, plan
+    plan = ShardPlan(ref_bounds_hi=jnp.asarray(ref_firsts),
+                     snp_bounds_hi24=jnp.asarray(snp_firsts24))
+    owned = dict(
+        ref=np.asarray([ref_rows[d + 1] - ref_rows[d] for d in range(D)],
+                       np.int32),
+        snp=np.asarray([snp_rows[d + 1] - snp_rows[d] for d in range(D)],
+                       np.int32))
+    totals = dict(ref=ref_tot, snp=snp_tot)
+    return base, stacked, plan, owned, totals
+
+
+class _ShardLocal(LocalBackend):
+    """Scan answering over one shard (owned rows + stride tail)."""
+
+    def __init__(self, dix, stride_bug, S, ref_owned, snp_owned,
+                 ref_total, snp_total):
+        super().__init__(dix, stride_bug, S)
+        self.ref_owned = ref_owned
+        self.snp_owned = snp_owned
+        self.ref_total = ref_total
+        self.snp_total = snp_total
+
+    def _ref_limit(self):
+        return self.ref_total
+
+    def _snp_limit(self):
+        return self.snp_total
+
+    def ref_scan(self, q_hi, q_lo, active):
+        res = super().ref_scan(q_hi, q_lo, active)
+        d = self.dix
+        zeros = jnp.zeros_like(q_hi)
+        blo = search.lower_bound(d.ref_hi, d.ref_lo, q_hi, zeros)
+        return dataclasses.replace(
+            res, hit=res.hit & (blo < self.ref_owned)[:, None])
+
+    def snp_scan(self, q_hi, q_lo, active):
+        res = super().snp_scan(q_hi, q_lo, active)
+        d = self.dix
+        zeros = jnp.zeros_like(q_hi)
+        slo = search.lower_bound(d.snp_hi, d.snp_lo, (q_hi >> 8) << 8,
+                                 zeros)
+        return dataclasses.replace(
+            res, hit=res.hit & (slo < self.snp_owned)[:, None])
 
 
 class RoutedBackend:
-    """Backend answering probes via all_to_all routing to owner shards.
+    """Answers probes by all_to_all routing to owner shards."""
 
-    Constructed inside shard_map: dict arrays are this device's shard
-    (owned rows + stride tail); `my_owned` bounds the searchable range."""
-
-    def __init__(self, dix_local: DeviceIndex, plan: ShardPlan, axis: str,
-                 D: int, stride_bug: bool, block_size_threshold: int,
-                 my_ref_owned, my_snp_owned, scan_slots: int = 16,
-                 route_factor: float = 2.2):
-        self.dix = dix_local
-        self.plan = plan
+    def __init__(self, arg: ShardedIndexArg, axis: str, D: int,
+                 stride_bug: bool, block_size_threshold: int,
+                 scan_slots: int = 16, route_factor: float = 2.2):
+        self.arg = arg
+        self.dix = arg.dix
         self.axis = axis
         self.D = D
         self.S = block_size_threshold
-        self.scan_slots = scan_slots
         self.stride_bug = stride_bug
-        self.my_ref_owned = my_ref_owned
-        self.my_snp_owned = my_snp_owned
+        self.scan_slots = scan_slots
         self.route_factor = route_factor
-        self.overflow = jnp.zeros((), I32)
+        self.route_overflow = jnp.zeros((), I32)
 
-    # ---- generic router ----
-
-    def _route(self, owner, send_fields, answer_fn, ans_specs):
-        """owner (N,) i32; send_fields tuple of (N,) arrays; answer_fn maps
-        tuple of (M,) query arrays -> tuple of (M,) answers with dtypes
-        ans_specs. Returns tuple of (N,) answers."""
-        N = owner.shape[0]
-        D = self.D
-        Q = max(16, int(self.route_factor * N / D) + 1)
-        order = jnp.argsort(owner, stable=True)
-        so = owner[order]
-        start = jnp.searchsorted(so, jnp.arange(D, dtype=owner.dtype))
-        posg = jnp.arange(N, dtype=I32) - start[jnp.minimum(so, D - 1)]
-        ok = posg < Q
-        self.overflow = self.overflow + jnp.sum(~ok)
-        slot_sorted = jnp.where(ok, posg, Q)
-        # scatter queries into (D, Q(+1 dump))
-        send = []
-        for fld in send_fields:
-            buf = jnp.zeros((D, Q + 1), fld.dtype)
-            buf = buf.at[so, slot_sorted].set(fld[order], mode="drop")
-            send.append(buf[:, :Q])
-        recv = [jax.lax.all_to_all(b, self.axis, 0, 0, tiled=False)
-                for b in send]
-        # answer all received queries
-        flat = [r.reshape(-1) for r in recv]
-        answers = answer_fn(*flat)
-        back = [jax.lax.all_to_all(a.reshape(D, Q), self.axis, 0, 0,
-                                   tiled=False)
-                for a in answers]
-        # gather per original query
-        out = []
-        inv_slot = jnp.zeros(N, I32).at[order].set(slot_sorted)
-        safe_slot = jnp.minimum(inv_slot, Q - 1)
-        for a, spec in zip(back, ans_specs):
-            v = a[owner, safe_slot]
-            v = jnp.where(inv_slot < Q, v, jnp.zeros((), a.dtype))
-            out.append(v)
-        return tuple(out)
+    def _local(self) -> _ShardLocal:
+        a = self.arg
+        return _ShardLocal(a.dix, self.stride_bug, self.S,
+                           a.my_ref_owned[0], a.my_snp_owned[0],
+                           a.my_ref_total[0], a.my_snp_total[0])
 
     def _ref_owner(self, q_hi):
-        return (jnp.searchsorted(self.plan.ref_bounds_hi, q_hi,
+        return (jnp.searchsorted(self.arg.plan.ref_bounds_hi, q_hi,
                                  side="right") - 1).astype(I32)
 
     def _snp_owner(self, q_hi):
-        return (jnp.searchsorted(self.plan.snp_bounds_hi24, q_hi >> 8,
+        return (jnp.searchsorted(self.arg.plan.snp_bounds_hi24, q_hi >> 8,
                                  side="right") - 1).astype(I32)
 
-    # ---- local answering (bounded by owned rows) ----
+    def _route(self, owner, valid, send_fields, answer_fn, n_ans, R=1):
+        """Route (N,)-shaped queries to owners; lanes with valid=False are
+        sent nowhere (answers are zeros). Answers have R values per query
+        laid out query-major. Returns tuple of (N, R) or (N,) arrays
+        (squeezed when R==1) plus the count of DROPPED VALID queries."""
+        N = owner.shape[0]
+        D = self.D
+        Q = max(16, -(-int(self.route_factor * N) // D))
+        owner = jnp.where(valid, owner, D)  # invalid lanes -> dump bucket
+        order = jnp.argsort(owner, stable=True)
+        so = owner[order]
+        start = jnp.searchsorted(so, jnp.arange(D + 1, dtype=owner.dtype))
+        posg = jnp.arange(N, dtype=I32) - start[jnp.clip(so, 0, D)]
+        ok = posg < Q
+        slot_sorted = jnp.where(ok, posg, Q)
+        send = []
+        for fld in send_fields:
+            if fld.dtype == jnp.bool_:
+                fld = fld.astype(I32)
+            buf = jnp.zeros((D, Q + 1), fld.dtype)
+            buf = buf.at[so, slot_sorted].set(fld[order], mode="drop")
+            send.append(buf[:, :Q])
+        recv = [jax.lax.all_to_all(b, self.axis, 0, 0) for b in send]
+        answers = answer_fn(*[r.reshape(-1) for r in recv])
+        back = []
+        for a in answers:
+            if a.dtype == jnp.bool_:
+                a = a.astype(I32)
+            b = jax.lax.all_to_all(a.reshape(D, Q * R), self.axis, 0, 0)
+            back.append(b.reshape(D, Q, R))
+        inv_slot = jnp.zeros(N, I32).at[order].set(slot_sorted)
+        safe = jnp.minimum(inv_slot, Q - 1)
+        got = valid & (inv_slot < Q)
+        safe_owner = jnp.clip(owner, 0, D - 1)
+        outs = []
+        for a in back:
+            v = a[safe_owner, safe]                   # (N, R)
+            v = jnp.where(got[:, None], v, jnp.zeros((), a.dtype))
+            outs.append(v[:, 0] if R == 1 else v)
+        route_ovf = jnp.sum(~ok & (so <= D - 1))
+        self.route_overflow = self.route_overflow + route_ovf
+        return tuple(outs), route_ovf
+
+    # --- exact queries ---
 
     def _local_exact(self, keys_hi, keys_lo, pos, flag, info, owned,
                      q_hi, q_lo):
-        n_pad = keys_hi.shape[0]
         i = search.lower_bound(keys_hi, keys_lo, q_hi, q_lo)
-        # lower_bound searches the padded array; restrict to owned rows
-        i = jnp.minimum(i, jnp.maximum(owned - 1, 0))
+        n_pad = keys_hi.shape[0]
         ic = jnp.minimum(i, n_pad - 1)
         hit = (keys_hi[ic] == q_hi) & (keys_lo[ic] == q_lo) & (i < owned)
         p = jnp.take(pos, ic, axis=0, mode="clip")
@@ -212,192 +262,281 @@ class RoutedBackend:
             return hit, p, f
         return hit, p, f, jnp.take(info, ic, axis=0, mode="clip")
 
-    # careful: lower_bound over the padded array can land in the tail
-    # region for queries beyond my range; those are clamped and fail the
-    # equality check or the i < owned check, so they answer no-hit -- the
-    # true owner answers them.
-
-    def exact_ref(self, q_hi, q_lo):
+    def exact_ref(self, q_hi, q_lo, valid=None):
         shp = q_hi.shape
         d = self.dix
-        hit, pos, flag = self._route(
-            self._ref_owner(q_hi.reshape(-1)),
-            (q_hi.reshape(-1), q_lo.reshape(-1)),
-            lambda qh, ql: self._pack_exact_ref(qh, ql),
-            (bool, U32, jnp.uint8))
-        return hit.reshape(shp), pos.reshape(shp), flag.reshape(shp)
+        a = self.arg
+        v = (jnp.ones(q_hi.size, bool) if valid is None
+             else valid.reshape(-1))
 
-    def _pack_exact_ref(self, qh, ql):
-        d = self.dix
-        hit, pos, flag = self._local_exact(
-            d.ref_hi, d.ref_lo, d.ref_pos, d.ref_flag, None,
-            self.my_ref_owned, qh, ql)
-        return hit, pos, flag
+        def ans(qh, ql):
+            return self._local_exact(d.ref_hi, d.ref_lo, d.ref_pos,
+                                     d.ref_flag, None, a.my_ref_owned[0],
+                                     qh, ql)
 
-    def exact_snp(self, q_hi, q_lo):
+        (hit, pos, flag), _ = self._route(
+            self._ref_owner(q_hi.reshape(-1)), v,
+            (q_hi.reshape(-1), q_lo.reshape(-1)), ans, 3)
+        return (hit != 0).reshape(shp), pos.reshape(shp), flag.reshape(shp)
+
+    def exact_snp(self, q_hi, q_lo, valid=None):
         shp = q_hi.shape
-        hit, pos, flag, info = self._route(
-            self._snp_owner(q_hi.reshape(-1)),
-            (q_hi.reshape(-1), q_lo.reshape(-1)),
-            lambda qh, ql: self._pack_exact_snp(qh, ql),
-            (bool, U32, jnp.uint8, jnp.uint8))
-        return (hit.reshape(shp), pos.reshape(shp), info.reshape(shp),
-                flag.reshape(shp))
-
-    def _pack_exact_snp(self, qh, ql):
         d = self.dix
-        hit, pos, flag, info = self._local_exact(
-            d.snp_hi, d.snp_lo, d.snp_pos, d.snp_flag, d.snp_info,
-            self.my_snp_owned, qh, ql)
-        return hit, pos, flag, info
+        a = self.arg
+        v = (jnp.ones(q_hi.size, bool) if valid is None
+             else valid.reshape(-1))
+
+        def ans(qh, ql):
+            return self._local_exact(d.snp_hi, d.snp_lo, d.snp_pos,
+                                     d.snp_flag, d.snp_info,
+                                     a.my_snp_owned[0], qh, ql)
+
+        (hit, pos, flag, info), _ = self._route(
+            self._snp_owner(q_hi.reshape(-1)), v,
+            (q_hi.reshape(-1), q_lo.reshape(-1)), ans, 4)
+        return ((hit != 0).reshape(shp), pos.reshape(shp),
+                info.reshape(shp), flag.reshape(shp))
 
     def ref_block_size(self, q_hi):
         shp = q_hi.shape
-        (bs,) = self._route(
-            self._ref_owner(q_hi.reshape(-1)),
-            (q_hi.reshape(-1),),
-            lambda qh: (self._local_block_size(qh),),
-            (I32,))
+        d = self.dix
+        a = self.arg
+
+        def ans(qh):
+            zeros = jnp.zeros_like(qh)
+            start = search.lower_bound(d.ref_hi, d.ref_lo, qh, zeros)
+            end = search.lower_bound(d.ref_hi, d.ref_lo, qh + U32(1), zeros)
+            owned = a.my_ref_owned[0]
+            end = jnp.where(qh == U32(0xFFFFFFFF), owned, end)
+            return ((jnp.minimum(end, owned)
+                     - jnp.minimum(start, owned)).astype(I32),)
+
+        (bs,), _ = self._route(self._ref_owner(q_hi.reshape(-1)),
+                               jnp.ones(q_hi.size, bool),
+                               (q_hi.reshape(-1),), ans, 1)
         return bs.reshape(shp)
 
-    def _local_block_size(self, qh):
-        d = self.dix
-        zeros = jnp.zeros_like(qh)
-        start = search.lower_bound(d.ref_hi, d.ref_lo, qh, zeros)
-        end = search.lower_bound(d.ref_hi, d.ref_lo, qh + U32(1), zeros)
-        end = jnp.where(qh == U32(0xFFFFFFFF), self.my_ref_owned, end)
-        start = jnp.minimum(start, self.my_ref_owned)
-        end = jnp.minimum(end, self.my_ref_owned)
-        return (end - start).astype(I32)
+    # --- routed block scans ---
 
-    # ---- routed block scans (compacted to scan_slots per item) ----
-
-    def _scan_compact(self, local: LocalBackend, is_ref: bool, qh, ql, act):
-        res = (local.ref_scan(qh, ql, act) if is_ref
-               else local.snp_scan(qh, ql, act))
-        R = self.scan_slots
-        M = qh.shape[0]
-        tgt = jnp.cumsum(res.hit.astype(I32), axis=1) - 1
-        keep = res.hit & (tgt < R)
-        ovf = jnp.sum(res.hit) - jnp.sum(keep) + res.overflow
-        rows = jnp.arange(M)[:, None]
-        scat = jnp.where(keep, tgt, R)
-
-        def cp(a, fill):
-            out = jnp.full((M, R + 1), fill, a.dtype)
-            out = out.at[rows, scat].set(a, mode="drop")
-            return out[:, :R]
-
-        return (cp(keep, False), cp(res.pos, U32(0)),
-                cp(res.flag, jnp.uint8(0)), cp(res.info, jnp.uint8(0)),
-                cp(res.nb_hi, U32(0)), cp(res.nb_lo, U32(0)),
-                cp(res.diff, 0), ovf)
-
-    def _routed_scan(self, is_ref: bool, q_hi, q_lo, active) -> ScanResult:
+    def _scan(self, is_ref: bool, q_hi, q_lo, active) -> ScanResult:
         R = self.scan_slots
         NI = q_hi.shape[0]
-        owner = (self._ref_owner(q_hi) if is_ref
-                 else self._snp_owner(q_hi))
+        owner = self._ref_owner(q_hi) if is_ref else self._snp_owner(q_hi)
         ovf_box = [jnp.zeros((), I32)]
 
-        def answer(qh, ql, act):
-            local = _ShardLocal(self.dix, self.stride_bug, self.S,
-                                self.my_ref_owned, self.my_snp_owned,
-                                self.scan_slots)
-            hit, pos, flag, info, nbhi, nblo, diff, ovf = \
-                self._scan_compact(local, is_ref, qh, ql, act)
-            ovf_box[0] = ovf_box[0] + ovf
-            # flatten slot axis into per-query packed columns
-            return (hit.reshape(-1, R).reshape(qh.shape[0] * R),) + tuple(
-                a.reshape(qh.shape[0] * R)
-                for a in (pos, flag, info, nbhi, nblo, diff))
+        def ans(qh, ql, act):
+            local = self._local()
+            res = (local.ref_scan(qh, ql, act != 0) if is_ref
+                   else local.snp_scan(qh, ql, act != 0))
+            M = qh.shape[0]
+            tgt = jnp.cumsum(res.hit.astype(I32), axis=1) - 1
+            keep = res.hit & (tgt < R)
+            ovf_box[0] = (jnp.sum(res.hit) - jnp.sum(keep)) + res.overflow
+            rows = jnp.arange(M)[:, None]
+            scat = jnp.where(keep, tgt, R)
 
-        # route with R answer slots per query: replicate queries per slot is
-        # wasteful; instead route once and return R-wide answers by treating
-        # each answer field as (M*R,) reshaped -- the router works on (M,)
-        # lanes, so we pack R values per query into R separate routed fields.
-        fields = []
-        # Simpler: answer each of the R slots as its own routed field set.
-        # Overhead is fine for small R.
-        outs = self._route_multi(owner, (q_hi, q_lo, active), answer, R)
+            def cp(arr, fill, dt):
+                out = jnp.full((M, R + 1), fill, dt)
+                out = out.at[rows, scat].set(arr.astype(dt), mode="drop")
+                return out[:, :R].reshape(M * R)
+
+            return (cp(keep, 0, I32), cp(res.pos, 0, U32),
+                    cp(res.flag, 0, U32), cp(res.info, 0, U32),
+                    cp(res.nb_hi, 0, U32), cp(res.nb_lo, 0, U32),
+                    cp(res.diff, 0, I32))
+
+        outs, route_ovf = self._route(owner, active,
+                                      (q_hi, q_lo, active), ans, 7, R=R)
         hit, pos, flag, info, nbhi, nblo, diff = outs
-        psum_ovf = jax.lax.psum(ovf_box[0], self.axis)
-        return ScanResult(hit=hit, pos=pos, flag=flag, info=info,
-                          nb_hi=nbhi, nb_lo=nblo, diff=diff,
-                          overflow=psum_ovf)
-
-    def _route_multi(self, owner, send_fields, answer_fn, R):
-        """Like _route but the answer has R slots per query: answers are
-        (M*R,) arrays laid out query-major."""
-        N = owner.shape[0]
-        D = self.D
-        Q = max(16, int(self.route_factor * N / D) + 1)
-        order = jnp.argsort(owner, stable=True)
-        so = owner[order]
-        start = jnp.searchsorted(so, jnp.arange(D, dtype=owner.dtype))
-        posg = jnp.arange(N, dtype=I32) - start[jnp.minimum(so, D - 1)]
-        ok = posg < Q
-        self.overflow = self.overflow + jnp.sum(~ok)
-        slot_sorted = jnp.where(ok, posg, Q)
-        send = []
-        for fld in send_fields:
-            buf = jnp.zeros((D, Q + 1), fld.dtype)
-            buf = buf.at[so, slot_sorted].set(fld[order], mode="drop")
-            send.append(buf[:, :Q])
-        recv = [jax.lax.all_to_all(b, self.axis, 0, 0) for b in send]
-        flat = [r.reshape(-1) for r in recv]
-        answers = answer_fn(*flat)          # tuple of (D*Q*R,)
-        back = []
-        for a in answers:
-            b = jax.lax.all_to_all(a.reshape(D, Q * R), self.axis, 0, 0)
-            back.append(b.reshape(D, Q, R))
-        inv_slot = jnp.zeros(N, I32).at[order].set(slot_sorted)
-        safe_slot = jnp.minimum(inv_slot, Q - 1)
-        outs = []
-        for a in back:
-            v = a[owner, safe_slot]          # (N, R)
-            v = jnp.where((inv_slot < Q)[:, None], v,
-                          jnp.zeros((), a.dtype))
-            outs.append(v)
-        return tuple(outs)
+        scan_ovf = jax.lax.psum(ovf_box[0], self.axis)
+        return ScanResult(
+            hit=hit != 0, pos=pos, flag=flag.astype(jnp.uint8),
+            info=info.astype(jnp.uint8), nb_hi=nbhi, nb_lo=nblo,
+            diff=diff, overflow=scan_ovf + route_ovf)
 
     def ref_scan(self, q_hi, q_lo, active) -> ScanResult:
-        return self._routed_scan(True, q_hi, q_lo, active)
+        return self._scan(True, q_hi, q_lo, active)
 
     def snp_scan(self, q_hi, q_lo, active) -> ScanResult:
-        return self._routed_scan(False, q_hi, q_lo, active)
+        return self._scan(False, q_hi, q_lo, active)
 
 
-class _ShardLocal(LocalBackend):
-    """LocalBackend over a shard: searches bounded to owned rows, stride
-    test reads allowed into the tail (mirroring the unsharded layout)."""
+class ShardedDictGenoRunner:
+    """Data-parallel reads + range-partitioned dictionaries on one mesh."""
 
-    def __init__(self, dix, stride_bug, S, ref_owned, snp_owned, scan_slots):
-        super().__init__(dix, stride_bug, S)
-        self.scan_slots = S  # full block scan width before compaction
-        self.ref_owned = ref_owned
-        self.snp_owned = snp_owned
+    def __init__(self, index: VarGenoIndex, mesh: Mesh, config: GenoConfig,
+                 scan_slots: int = 16, route_factor: float = 3.0):
+        self.config = config
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.index = index
+        D = mesh.devices.size
+        self.D = D
 
-    def ref_scan(self, q_hi, q_lo, active):
-        res = super().ref_scan(q_hi, q_lo, active)
-        # restrict block bounds to owned rows
-        d = self.dix
-        zeros = jnp.zeros_like(q_hi)
-        blo = search.lower_bound(d.ref_hi, d.ref_lo, q_hi, zeros)
-        in_owned = blo < self.ref_owned
-        return ScanResult(hit=res.hit & in_owned[:, None], pos=res.pos,
-                          flag=res.flag, info=res.info, nb_hi=res.nb_hi,
-                          nb_lo=res.nb_lo, diff=res.diff,
-                          overflow=res.overflow)
+        base, stacked, plan, owned, totals = partition_index(index, D)
 
-    def snp_scan(self, q_hi, q_lo, active):
-        res = super().snp_scan(q_hi, q_lo, active)
-        d = self.dix
-        zeros = jnp.zeros_like(q_hi)
-        slo = search.lower_bound(d.snp_hi, d.snp_lo,
-                                 (q_hi >> 8) << 8, zeros)
-        in_owned = slo < self.snp_owned
-        return ScanResult(hit=res.hit & in_owned[:, None], pos=res.pos,
-                          flag=res.flag, info=res.info, nb_hi=res.nb_hi,
-                          nb_lo=res.nb_lo, diff=res.diff,
-                          overflow=res.overflow)
+        data = P(self.axis)
+        none = P()
+        dsh = NamedSharding(mesh, data)
+        rsh = NamedSharding(mesh, none)
+
+        # local DeviceIndex template: dict arrays = shard (leading D axis),
+        # replicated fields shared, hash tables dummied out (unused).
+        dummy_ht = np.zeros((1, 32), np.uint32)
+        shard_dix = DeviceIndex(
+            ref_hi=jax.device_put(stacked["ref_hi"], dsh),
+            ref_lo=jax.device_put(stacked["ref_lo"], dsh),
+            ref_pos=jax.device_put(stacked["ref_pos"], dsh),
+            ref_flag=jax.device_put(stacked["ref_flag"], dsh),
+            ref_aux=jax.device_put(base.ref_aux, rsh),
+            snp_hi=jax.device_put(stacked["snp_hi"], dsh),
+            snp_lo=jax.device_put(stacked["snp_lo"], dsh),
+            snp_pos=jax.device_put(stacked["snp_pos"], dsh),
+            snp_info=jax.device_put(stacked["snp_info"], dsh),
+            snp_flag=jax.device_put(stacked["snp_flag"], dsh),
+            snp_aux_pos=jax.device_put(base.snp_aux_pos, rsh),
+            snp_aux_snp=jax.device_put(base.snp_aux_snp, rsh),
+            ref_bf=jax.device_put(base.ref_bf, rsh),
+            snp_bf=jax.device_put(base.snp_bf, rsh),
+            site_pos=jax.device_put(base.site_pos, rsh),
+            site_ref=jax.device_put(base.site_ref, rsh),
+            site_alt=jax.device_put(base.site_alt, rsh),
+            site_bitmap=jax.device_put(base.site_bitmap, rsh),
+            site_rank=jax.device_put(base.site_rank, rsh),
+            site_dir=jax.device_put(base.site_dir, rsh),
+            site_ra=jax.device_put(base.site_ra, rsh),
+            ref_ht=jax.device_put(dummy_ht, rsh),
+            snp_ht=jax.device_put(dummy_ht, rsh),
+            snp_bf_bits=base.snp_bf_bits, ref_bf_bits=base.ref_bf_bits,
+            ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1, snp_ht_chain=1,
+        )
+        arg_host = ShardedIndexArg(
+            dix=shard_dix,
+            plan=jax.tree.map(lambda a: jax.device_put(a, rsh), plan),
+            my_ref_owned=jax.device_put(owned["ref"][:, None], dsh),
+            my_snp_owned=jax.device_put(owned["snp"][:, None], dsh),
+            my_ref_total=jax.device_put(totals["ref"][:, None], dsh),
+            my_snp_total=jax.device_put(totals["snp"][:, None], dsh),
+        )
+        self.arg = arg_host
+
+        cfg = config
+        axis = self.axis
+
+        def backend_factory(arg_t):
+            return RoutedBackend(arg_t, axis, D, cfg.replicate_stride_bug,
+                                 cfg.block_size_threshold,
+                                 scan_slots=scan_slots,
+                                 route_factor=route_factor)
+
+        proc = make_batch_processor(arg_host, cfg,
+                                    backend_factory=backend_factory)
+        raw = proc.raw
+
+        # per-shard views: strip the leading device axis of shard fields
+        def local_view(arg_l):
+            dx = arg_l.dix
+            strip = dict(
+                ref_hi=dx.ref_hi[0], ref_lo=dx.ref_lo[0],
+                ref_pos=dx.ref_pos[0], ref_flag=dx.ref_flag[0],
+                snp_hi=dx.snp_hi[0], snp_lo=dx.snp_lo[0],
+                snp_pos=dx.snp_pos[0], snp_info=dx.snp_info[0],
+                snp_flag=dx.snp_flag[0])
+            dx2 = dataclasses.replace(dx, **strip)
+            return dataclasses.replace(
+                arg_l, dix=dx2,
+                my_ref_owned=arg_l.my_ref_owned[0],
+                my_snp_owned=arg_l.my_snp_owned[0],
+                my_ref_total=arg_l.my_ref_total[0],
+                my_snp_total=arg_l.my_snp_total[0])
+
+        n = base.site_pos.shape[0]
+        self.n_sites = n
+
+        @jax.jit
+        def sharded_step(arg_t, codes, n_kmers, qual, rc_d, ac_d):
+            def local(arg_l, codes_l, nk_l, q_l, rc_l, ac_l):
+                rc, ac, stats = raw(local_view(arg_l), codes_l, nk_l, q_l,
+                                    rc_l[0], ac_l[0])
+                stats = {k: jax.lax.psum(v, axis) for k, v in stats.items()}
+                return rc[None], ac[None], stats
+
+            shard_specs = ShardedIndexArg(
+                dix=DeviceIndex(
+                    ref_hi=P(axis), ref_lo=P(axis), ref_pos=P(axis),
+                    ref_flag=P(axis), ref_aux=none,
+                    snp_hi=P(axis), snp_lo=P(axis), snp_pos=P(axis),
+                    snp_info=P(axis), snp_flag=P(axis),
+                    snp_aux_pos=none, snp_aux_snp=none,
+                    ref_bf=none, snp_bf=none,
+                    site_pos=none, site_ref=none, site_alt=none,
+                    site_bitmap=none, site_rank=none, site_dir=none,
+                    site_ra=none, ref_ht=none, snp_ht=none,
+                    snp_bf_bits=base.snp_bf_bits,
+                    ref_bf_bits=base.ref_bf_bits,
+                    ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1,
+                    snp_ht_chain=1),
+                plan=ShardPlan(ref_bounds_hi=none, snp_bounds_hi24=none),
+                my_ref_owned=P(axis), my_snp_owned=P(axis),
+                my_ref_total=P(axis), my_snp_total=P(axis))
+
+            return jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(shard_specs, P(axis), P(axis), P(axis), P(axis),
+                          P(axis)),
+                out_specs=(P(axis), P(axis), none),
+                check_vma=False,
+            )(arg_t, codes, n_kmers, qual, rc_d, ac_d)
+
+        self._step = sharded_step
+        zero = jnp.zeros((D, n + 1), jnp.int32)
+        self.ref_cnt_d = jax.device_put(zero, dsh)
+        self.alt_cnt_d = jax.device_put(zero, dsh)
+        self._data_sh = dsh
+        self.stats_totals: dict = {}
+        self.n_reads = 0
+
+    def global_batch(self) -> int:
+        return self.D * self.config.batch_reads
+
+    def consume_fastq(self, fastq_path: str,
+                      limit_batches: Optional[int] = None) -> None:
+        from ..io.fastq import iter_read_batches
+
+        cfg = self.config
+        nb = 0
+        for batch in iter_read_batches(fastq_path, self.global_batch(),
+                                       cfg.max_read_len,
+                                       cfg.max_kmers_per_read):
+            codes = jax.device_put(batch.codes, self._data_sh)
+            nk = jax.device_put(batch.n_kmers, self._data_sh)
+            qual = jax.device_put(batch.qual, self._data_sh)
+            self.ref_cnt_d, self.alt_cnt_d, stats = self._step(
+                self.arg, codes, nk, qual, self.ref_cnt_d, self.alt_cnt_d)
+            self.n_reads += batch.n_valid
+            for k, v in stats.items():
+                self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
+            nb += 1
+            if limit_batches and nb >= limit_batches:
+                break
+
+    def counts(self):
+        rc = jnp.sum(self.ref_cnt_d, axis=0)
+        ac = jnp.sum(self.alt_cnt_d, axis=0)
+        return rc, ac
+
+    def calls(self):
+        from ..finalize import finalize_calls
+
+        rc, ac = self.counts()
+        s = self.index.sites
+        n = s.pos.shape[0]
+        ref = np.minimum(np.asarray(rc)[:n], self.config.max_cov)
+        alt = np.minimum(np.asarray(ac)[:n], self.config.max_cov)
+        return finalize_calls(self.index.chrlens, s.pos, s.ref, s.alt,
+                              s.rf, s.af, ref, alt, self.config)
+
+    def write_vcf(self, vcf_in: str, vcf_out: str) -> None:
+        from ..io.vcf_writer import write_calls_vcf
+
+        write_calls_vcf(vcf_in, vcf_out, self.calls())

@@ -61,8 +61,8 @@ class LocalBackend:
 
     # --- exact queries (one bucket-row gather per probe; hashtable.py) ---
 
-    def exact_ref(self, q_hi, q_lo):
-        """(hit, pos, flag)"""
+    def exact_ref(self, q_hi, q_lo, valid=None):
+        """(hit, pos, flag); `valid` is a routing hint (unused locally)"""
         from .hashtable import ht_lookup
 
         d = self.dix
@@ -70,7 +70,7 @@ class LocalBackend:
                                       q_hi, q_lo)
         return hit, pos, flag
 
-    def exact_snp(self, q_hi, q_lo):
+    def exact_snp(self, q_hi, q_lo, valid=None):
         """(hit, pos, info, flag)"""
         from .hashtable import ht_lookup
 
@@ -84,6 +84,14 @@ class LocalBackend:
         blo, bhi = search.block_bounds_hi32(d.ref_hi, d.ref_lo, q_hi)
         return bhi - blo
 
+    # stride-bug read limits: index beyond this reads as 0 (fresh-mmap heap
+    # model); sharded subclasses override with the true unsharded extent
+    def _ref_limit(self):
+        return self.dix.ref_hi.shape[0]
+
+    def _snp_limit(self):
+        return self.dix.snp_hi.shape[0]
+
     # --- block Hamming scans ---
 
     def ref_scan(self, q_hi, q_lo, active) -> ScanResult:
@@ -91,7 +99,7 @@ class LocalBackend:
         d = self.dix
         S = self.scan_slots
         NI = q_hi.shape[0]
-        n_ref = d.ref_hi.shape[0]
+        n_ref = self._ref_limit()
         blo, bhi = search.block_bounds_hi32(d.ref_hi, d.ref_lo, q_hi)
         bsize = bhi - blo
         j = jnp.arange(S, dtype=I32)[None, :]
@@ -108,7 +116,7 @@ class LocalBackend:
         ok = (x != 0) & ((x >> sh2) <= 3)
         act = active[:, None] & (j < bsize[:, None])
         hit = act & ok
-        mr = jnp.minimum(meta_row, max(n_ref - 1, 0))
+        mr = jnp.minimum(meta_row, d.ref_hi.shape[0] - 1)
         return ScanResult(
             hit=hit,
             pos=jnp.take(d.ref_pos, mr, axis=0, mode="clip"),
@@ -123,7 +131,7 @@ class LocalBackend:
         d = self.dix
         S = self.scan_slots
         NI = q_hi.shape[0]
-        n_snp = d.snp_hi.shape[0]
+        n_snp = self._snp_limit()
         slo, shi = search.block_bounds_hi24(d.snp_hi, d.snp_lo, q_hi >> 8)
         ssize = shi - slo
         j = jnp.arange(S, dtype=I32)[None, :]
@@ -148,7 +156,7 @@ class LocalBackend:
         oks = jnp.where(tz40 < 32, ok_lo, ok_hi) & ((xlo | xhi8) != 0)
         act = active[:, None] & (j < ssize[:, None])
         hit = act & oks
-        mr = jnp.minimum(meta_row, max(n_snp - 1, 0))
+        mr = jnp.minimum(meta_row, d.snp_hi.shape[0] - 1)
         return ScanResult(
             hit=hit,
             pos=jnp.take(d.snp_pos, mr, axis=0, mode="clip"),

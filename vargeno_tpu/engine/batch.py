@@ -166,8 +166,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         nb_lo_big = ((it_lo[:, None] & ~(U32(3) << (2 * bgrid).astype(U32)))
                      | (jgrid.astype(U32) << (2 * bgrid).astype(U32)))
         nb_hi_big = jnp.broadcast_to(it_hi[:, None], nb_lo_big.shape)
-        r_hit, r_pos, r_flag = be.exact_ref(nb_hi_big, nb_lo_big)
-        s_hit, s_pos, s_info, s_flag = be.exact_snp(nb_hi_big, nb_lo_big)
+        r_hit, r_pos, r_flag = be.exact_ref(nb_hi_big, nb_lo_big, act_bl)
+        s_hit, s_pos, s_info, s_flag = be.exact_snp(nb_hi_big, nb_lo_big,
+                                                    act_bl)
         z8 = jnp.zeros_like(s_info)
         outs.append((
             interleave(act_bl & r_hit, act_bl & s_hit),
@@ -193,8 +194,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         act_snp = (it_valid[:, None] & base_ok
                    & (big[:, None] | (bitpos >= 40))
                    & (bitpos < snp_bound[:, None]))
-        rh_hit, rh_pos, rh_flag = be.exact_ref(nb_hi_h, nb_lo_h)
-        sh_hit, sh_pos, sh_info, sh_flag = be.exact_snp(nb_hi_h, nb_lo_h)
+        rh_hit, rh_pos, rh_flag = be.exact_ref(nb_hi_h, nb_lo_h, act_ref)
+        sh_hit, sh_pos, sh_info, sh_flag = be.exact_snp(nb_hi_h, nb_lo_h,
+                                                        act_snp)
         outs.append((
             interleave(act_ref & rh_hit, act_snp & sh_hit),
             interleave(jnp.ones_like(act_ref), jnp.zeros_like(act_snp)),
@@ -259,8 +261,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         B, K, E, C, NI, H = sh.B, sh.K, sh.E, sh.C, sh.NI, sh.H
         hi, lo, kmer_valid, read_ok = encode_batch(codes, n_kmers, K)
 
-        r_hit, r_pos, r_flag = be.exact_ref(hi, lo)
-        s_hit, s_pos, s_info, s_flag = be.exact_snp(hi, lo)
+        r_hit, r_pos, r_flag = be.exact_ref(hi, lo, kmer_valid)
+        s_hit, s_pos, s_info, s_flag = be.exact_snp(hi, lo, kmer_valid)
         r_hit = r_hit & kmer_valid
         s_hit = s_hit & kmer_valid
 
@@ -618,6 +620,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         stats.update({("rev_" + k): v for k, v in rev["stats"].items()})
         stats["agree_overflow"] = aovf1 + aovf2
         stats["n_processed"] = jnp.sum(use_fwd | use_rev)
+        rovf = getattr(be, "route_overflow", None)
+        if rovf is not None:
+            stats["route_overflow"] = rovf
         if return_debug:
             debug = dict(
                 fwd_process=fwd["process"], fwd_target=fwd["target"],
@@ -641,6 +646,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         stats = dict(res["stats"])
         stats["agree_overflow"] = aovf
         stats["n_processed"] = jnp.sum(res["process"])
+        rovf = getattr(be, "route_overflow", None)
+        if rovf is not None:
+            stats["route_overflow"] = rovf
         return (ref_cnt, alt_cnt, res["process"], res["read_ok"], stats)
 
     jitted = jax.jit(step, donate_argnums=(4, 5))

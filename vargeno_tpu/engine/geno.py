@@ -115,6 +115,8 @@ class GenoRunner:
         nb = 0
 
         def run_one(codes, nk, qual, count_reads):
+            """Dispatch one batch; returns device futures (async) so the
+            host can overlap queue bookkeeping with device compute."""
             nonlocal nb, pend_n
             (self.ref_cnt, self.alt_cnt, process, read_ok,
              stats) = self.step.single(
@@ -123,7 +125,7 @@ class GenoRunner:
             self.n_reads += count_reads
             self._bump(stats)
             nb += 1
-            return np.asarray(process), np.asarray(read_ok)
+            return process, read_ok
 
         def enqueue_failures(codes, nk, qual, n_valid, process, read_ok):
             nonlocal pend_n
@@ -171,17 +173,26 @@ class GenoRunner:
                 pend_qual = [rest_q] if rest_q.size else []
                 pend_n = rest_k.shape[0]
 
+        prev = None  # (batch, process_future, read_ok_future)
         for batch in iter_read_batches(fastq_path, B, cfg.max_read_len,
                                        cfg.max_kmers_per_read,
                                        skip_reads=skip):
-            process, read_ok = run_one(batch.codes, batch.n_kmers,
-                                       batch.qual, batch.n_valid)
-            enqueue_failures(batch.codes, batch.n_kmers, batch.qual,
-                             batch.n_valid, process, read_ok)
-            flush_pending()
+            fut = run_one(batch.codes, batch.n_kmers, batch.qual,
+                          batch.n_valid)
+            if prev is not None:
+                pbatch, pp, pok = prev
+                enqueue_failures(pbatch.codes, pbatch.n_kmers, pbatch.qual,
+                                 pbatch.n_valid, np.asarray(pp),
+                                 np.asarray(pok))
+                flush_pending()
+            prev = (batch, *fut)
             if checkpoint_path and nb % checkpoint_every == 0:
-                # NOTE: checkpoints in queued mode are only taken with an
-                # empty retry queue to stay exact; flush first
+                if prev is not None:
+                    pbatch, pp, pok = prev
+                    enqueue_failures(pbatch.codes, pbatch.n_kmers,
+                                     pbatch.qual, pbatch.n_valid,
+                                     np.asarray(pp), np.asarray(pok))
+                    prev = None
                 flush_pending(force=True)
                 from . import checkpoint as ckpt
 
@@ -189,6 +200,11 @@ class GenoRunner:
                           self.n_reads)
             if limit_batches and nb >= limit_batches:
                 break
+        if prev is not None:
+            pbatch, pp, pok = prev
+            enqueue_failures(pbatch.codes, pbatch.n_kmers, pbatch.qual,
+                             pbatch.n_valid, np.asarray(pp),
+                             np.asarray(pok))
         flush_pending(force=True)
         return nb
 

@@ -53,7 +53,34 @@ def main(argv=None):
     p.add_argument("reads_fq")
     p.add_argument("snp_vcf")
     p.add_argument("out_vcf")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint path for resumable runs")
+    p.add_argument("--pallas-vote", action="store_true",
+                   help="use the Pallas VMEM vote kernel (TPU)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel over N devices (0 = single device)")
+    p.add_argument("--sharded-dict", action="store_true",
+                   help="partition dictionaries across the mesh "
+                        "(all_to_all routed probes)")
     _add_engine_flags(p)
+
+    p = sub.add_parser("cohort", help="genotype multiple samples")
+    p.add_argument("prefix")
+    p.add_argument("snp_vcf")
+    p.add_argument("out_pattern", help="per-sample output, e.g. out_{sample}.vcf")
+    p.add_argument("samples", nargs="+",
+                   help="name=reads.fq pairs")
+    _add_engine_flags(p)
+
+    p = sub.add_parser("vcfd", help="build dictionaries only (legacy vcfd)")
+    p.add_argument("ref_fasta")
+    p.add_argument("snp_vcf")
+    p.add_argument("ref_dict")
+    p.add_argument("snp_dict")
+
+    p = sub.add_parser("kmerc", help="count distinct LO32/LO40 k-mer halves "
+                                     "(BF sizing tool, reference kmerc)")
+    p.add_argument("ref_fasta")
 
     p = sub.add_parser("vcfbf", help="build Bloom filters only (gbf vcf)")
     p.add_argument("ref_fasta")
@@ -92,10 +119,79 @@ def main(argv=None):
         return 0
 
     if args.cmd == "geno":
-        from .engine.geno import run_geno
+        cfg = _config(args)
+        if args.pallas_vote:
+            import dataclasses as _dc
 
-        run_geno(args.prefix, args.reads_fq, args.snp_vcf, args.out_vcf,
-                 _config(args))
+            cfg = _dc.replace(cfg, pallas_vote=True)
+        if args.mesh:
+            from .dist.sharding import ShardedGenoRunner, make_mesh
+            from .dist.sharded_dict import ShardedDictGenoRunner
+            from .index import store
+
+            index = store.load_npz(args.prefix)
+            mesh = make_mesh(args.mesh)
+            cls = (ShardedDictGenoRunner if args.sharded_dict
+                   else ShardedGenoRunner)
+            runner = cls(index, mesh, cfg)
+            runner.consume_fastq(args.reads_fq)
+            runner.write_vcf(args.snp_vcf, args.out_vcf)
+            return 0
+        from .engine.geno import GenoRunner
+        from .index import store
+
+        index = store.load_npz(args.prefix)
+        runner = GenoRunner(index, cfg)
+        runner.consume_fastq(args.reads_fq,
+                             checkpoint_path=args.checkpoint)
+        runner.write_vcf(args.snp_vcf, args.out_vcf)
+        return 0
+
+    if args.cmd == "cohort":
+        from .engine.cohort import CohortRunner
+        from .index import store
+
+        pairs = [s.split("=", 1) for s in args.samples]
+        index = store.load_npz(args.prefix)
+        runner = CohortRunner(index, [n for n, _ in pairs], _config(args))
+        for name, fq in pairs:
+            runner.consume_sample(name, fq)
+        runner.write_vcfs(args.snp_vcf, args.out_pattern)
+        return 0
+
+    if args.cmd == "vcfd":
+        from .index import dictgen, store
+        from .io import fasta as fasta_io
+
+        seqs = fasta_io.parse_fasta(args.ref_fasta)
+        with open(args.ref_fasta + ".chrlens", "w") as f:
+            f.write(fasta_io.chrlens_text(seqs))
+        snp_dict, _ = dictgen.build_snp_dict_from_vcf(seqs, args.snp_vcf)
+        ref_dict, _ = dictgen.build_ref_dict(seqs)
+        store.write_snp_dict(args.snp_dict, snp_dict)
+        store.write_ref_dict(args.ref_dict, ref_dict)
+        return 0
+
+    if args.cmd == "kmerc":
+        import numpy as np
+
+        from .core.kmer import np_rolling_kmers_u64, np_window_has_n
+        from .io import fasta as fasta_io
+
+        seqs = fasta_io.parse_fasta(args.ref_fasta)
+        lo32 = set()
+        lo40_count = 0
+        all40 = []
+        for s in seqs:
+            codes = s.codes_normalized()
+            roll = np_rolling_kmers_u64(codes)
+            ok = ~np_window_has_n(codes)
+            k = roll[ok]
+            lo32.update(np.unique(k & np.uint64(0xFFFFFFFF)).tolist())
+            all40.append(np.unique(k & np.uint64(0xFF_FFFF_FFFF)))
+        n40 = np.unique(np.concatenate(all40)).size if all40 else 0
+        print(f"distinct LO32: {len(lo32)}")
+        print(f"distinct LO40: {n40}")
         return 0
 
     if args.cmd == "vcfbf":

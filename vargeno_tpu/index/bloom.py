@@ -48,6 +48,11 @@ class BitVector:
 
     def set_bits(self, idx: np.ndarray) -> None:
         idx = np.asarray(idx, dtype=np.uint64)
+        from .. import native
+
+        if idx.size > 4096 and native.available():
+            native.bf_set_bits(self.words, idx)
+            return
         w = (idx >> np.uint64(6)).astype(np.int64)
         m = np.uint64(1) << (idx & np.uint64(63))
         np.bitwise_or.at(self.words, w, m)

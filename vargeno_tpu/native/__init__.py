@@ -59,6 +59,15 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.vgt_bf_set_bits.restype = None
+        lib.vgt_bf_set_bits.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64]
+        lib.vgt_bf_test_bits.restype = None
+        lib.vgt_bf_test_bits.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         return _lib
 
@@ -94,6 +103,16 @@ def fastq_batches(path: str, batch: int, L: int, K: int):
             n_kmers[got:] = 0
             qual[got:] = 0
         yield codes, n_kmers, qual, int(got)
+
+
+def bf_set_bits(words: np.ndarray, bit_idx: np.ndarray) -> None:
+    lib = _load()
+    assert lib is not None
+    bit_idx = np.ascontiguousarray(bit_idx, np.uint64)
+    lib.vgt_bf_set_bits(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        bit_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        bit_idx.shape[0])
 
 
 def rolling_kmers(codes: np.ndarray):

@@ -266,10 +266,50 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         r_hit = r_hit & kmer_valid
         s_hit = s_hit & kmer_valid
 
-        exr_kpos, exr_valid = expand_exact_events(dix, True, r_hit, r_pos,
-                                                  r_flag)
-        exs_kpos, exs_valid = expand_exact_events(dix, False, s_hit, s_pos,
-                                                  s_flag)
+        # exact hits split into the common unambiguous case (one event,
+        # written directly) and the rare ambiguous case (compacted across
+        # the batch BEFORE the 10-wide aux expansion -- expanding every
+        # slot 10x made the event scatters the step's dominant cost)
+        r_usable = r_hit & (r_pos != _POS_AMBIG)
+        s_usable = s_hit & (s_pos != _POS_AMBIG)
+        r_un_v = r_usable & (r_flag == 0)
+        s_un_v = s_usable & (s_flag == 0)
+        r_am_v = r_usable & (r_flag != 0)
+        s_am_v = s_usable & (s_flag != 0)
+
+        NA = max(64, B // 4)
+        # flat order (b, k, dict) -- target slots are precomputed, so
+        # compaction order never affects event order
+        am_mask = jnp.stack([r_am_v, s_am_v], axis=-1).reshape(-1)
+        am_tgt = jnp.cumsum(am_mask.astype(I32)) - 1
+        am_keep = am_mask & (am_tgt < NA)
+        amb_overflow = jnp.sum(am_mask) - jnp.sum(am_keep)
+        am_srcidx = jnp.arange(B * K * 2, dtype=I32)
+        na_src = jnp.full(NA, -1, I32).at[
+            jnp.where(am_keep, am_tgt, NA)].set(am_srcidx, mode="drop")
+        na_ok = na_src >= 0
+        na_s = jnp.maximum(na_src, 0)
+        na_b = na_s // (K * 2)
+        na_k = (na_s // 2) % K
+        na_isref = (na_s % 2) == 0
+        na_auxrow = jnp.where(na_isref, r_pos[na_b, na_k],
+                              s_pos[na_b, na_k])
+        na_aux = jnp.where(
+            na_isref[:, None],
+            take(dix.ref_aux, jnp.minimum(
+                na_auxrow, U32(dix.ref_aux.shape[0] - 1)).astype(I32)),
+            take(dix.snp_aux_pos, jnp.minimum(
+                na_auxrow,
+                U32(dix.snp_aux_pos.shape[0] - 1)).astype(I32)))
+        na_colv = na_ok[:, None] & (na_aux != 0)
+        na_count = jnp.sum(na_colv, axis=-1)                 # (NA,)
+
+        # per-(B,K) exact event counts
+        am_cnt = jnp.zeros((B, K, 2), I32).at[
+            na_b, na_k, jnp.where(na_isref, 0, 1)].add(
+                jnp.where(na_ok, na_count, 0), mode="drop")
+        exr_n = r_un_v.astype(I32) + am_cnt[..., 0]
+        exs_n = s_un_v.astype(I32) + am_cnt[..., 1]
 
         # ---- neighbor work-item compaction ----
         lowq = kmer_valid & (qual < jnp.uint8(cfg.quality_score))
@@ -290,104 +330,112 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         (p_hit, p_is_ref, p_pos, p_flag, p_info, p_nb_hi, p_nb_lo, p_diff,
          scan_ovf) = neighbor_probes(be, dix, it_hi, it_lo, it_ok)
 
-        # ---- probe-hit compaction (NI, P2) -> (NI, H) ----
-        ptgt = jnp.cumsum(p_hit.astype(I32), axis=1) - 1
-        pkeep = p_hit & (ptgt < H)
-        ph_overflow = jnp.sum(p_hit) - jnp.sum(pkeep)
-        flat_rows = jnp.arange(NI)[:, None]
-        scat = jnp.where(pkeep, ptgt, H)
+        # ---- flat probe-hit compaction (NI, P2) -> (NH,) ----
+        # hits are sparse; compact them across the whole batch BEFORE the
+        # 10-wide aux expansion so aux gathers, site checks and event
+        # scatters all run on ~real-hit-count lanes
+        NH = max(64, 4 * NI)
+        ph_flat = p_hit.reshape(-1)                  # item-major order
+        ph_tgt = jnp.cumsum(ph_flat.astype(I32)) - 1
+        ph_keep = ph_flat & (ph_tgt < NH)
+        ph_overflow = jnp.sum(ph_flat) - jnp.sum(ph_keep)
+        ph_src = jnp.full(NH, -1, I32).at[
+            jnp.where(ph_keep, ph_tgt, NH)].set(
+                jnp.arange(NI * P2, dtype=I32), mode="drop")
+        h_ok = ph_src >= 0
+        h_s = jnp.maximum(ph_src, 0)
+        h_item = h_s // P2
 
-        def compact(a, fill):
-            out = jnp.full((NI, H + 1), fill, a.dtype)
-            out = out.at[flat_rows, scat].set(a, mode="drop")
-            return out[:, :H]
+        def fl(a, fill):
+            return jnp.where(h_ok, a.reshape(-1)[h_s], fill)
 
-        c_valid = compact(pkeep, False)
-        c_is_ref = compact(p_is_ref, False)
-        c_pos = compact(p_pos, U32(0))
-        c_flag = compact(p_flag, jnp.uint8(0))
-        c_info = compact(p_info, jnp.uint8(0))
-        c_nb_hi = compact(p_nb_hi, U32(0))
-        c_nb_lo = compact(p_nb_lo, U32(0))
-        c_diff = compact(p_diff, 0)
+        h_isref = fl(p_is_ref, False)
+        h_pos = fl(p_pos, U32(0))
+        h_flag = fl(p_flag, jnp.uint8(1))
+        h_info = fl(p_info, jnp.uint8(0))
+        h_nbhi = fl(p_nb_hi, U32(0))
+        h_nblo = fl(p_nb_lo, U32(0))
+        h_diff = fl(p_diff, 0)
+        h_b = it_b[h_item]
+        h_k = it_k[h_item]
 
         nb_kpos, nb_valid = expand_probe_events(
-            dix, c_is_ref, c_pos, c_flag, c_info, c_diff, c_valid)
+            dix, h_isref, h_pos, h_flag, h_info, h_diff, h_ok)  # (NH, 10)
 
-        # ---- event assembly into ordered (B, E) buffer ----
-        exr_n = jnp.sum(exr_valid, axis=-1)
-        exs_n = jnp.sum(exs_valid, axis=-1)
-        nb_n_item = jnp.sum(nb_valid, axis=(1, 2))
+        # ---- event counts and group offsets ----
+        nb_cnt = jnp.sum(nb_valid, axis=-1).astype(I32)      # (NH,)
+        nb_n_item = jnp.zeros(NI, I32).at[h_item].add(
+            jnp.where(h_ok, nb_cnt, 0), mode="drop")
         nb_n_flat = jnp.zeros(B * K, I32).at[
             jnp.where(it_ok, item_src, B * K)].set(
-                nb_n_item.astype(I32), mode="drop")
+                nb_n_item, mode="drop")
         nb_n = nb_n_flat.reshape(B, K)
         groups = jnp.stack([exr_n, exs_n, nb_n], axis=-1).reshape(B, 3 * K)
         goff = jnp.cumsum(groups, axis=-1) - groups
         ev_total = jnp.sum(groups, axis=-1)
         ev_overflow = jnp.sum(jnp.maximum(ev_total - E, 0))
 
-        # One packed (B, E+1, 5) u32 buffer so every event group lands with
-        # a single scatter (8 narrow scatters fused into one wide one):
-        # words [idx, kpos, nbhi, nblo, meta] with
+        # One packed (B, E+1, 5) u32 buffer; every event group lands with a
+        # single scatter: words [idx, kpos, nbhi, nblo, meta] with
         # meta = modif | k<<16 | isnb<<24 | valid<<25
         packed = jnp.zeros((B, E + 1, 5), U32)
-        rows_b = jnp.arange(B)[:, None, None]
 
-        def scatter_group(packed, kpos, valid, group_idx, nbhi, nblo, modif,
-                          is_nb: bool, kslot):
-            rank = jnp.cumsum(valid, axis=-1) - 1
-            base = jnp.take_along_axis(goff, group_idx, axis=-1)
-            e = base[..., None] + rank
-            e = jnp.where(valid & (e < E), e, E)
+        def words_for(kpos, kslot, nbhi, nblo, modif, is_nb, valid):
             shp = kpos.shape
-            meta = (jnp.broadcast_to(modif.astype(U32)[..., None], shp)
-                    | (jnp.broadcast_to(kslot.astype(U32)[..., None],
-                                        shp) << 16)
-                    | (U32((1 << 24) if is_nb else 0))
+            meta = (modif.astype(U32)
+                    | (kslot.astype(U32) << 16)
+                    | (U32((1 << 24)) if is_nb else U32(0))
                     | (valid.astype(U32) << 25))
-            words = jnp.stack([
-                kpos - (kslot * 32).astype(U32)[..., None],
-                kpos,
-                jnp.broadcast_to(nbhi[..., None], shp),
-                jnp.broadcast_to(nblo[..., None], shp),
-                meta,
-            ], axis=-1)
-            return packed.at[rows_b, e].set(words, mode="drop")
+            return jnp.stack([kpos - (kslot * 32).astype(U32), kpos,
+                              jnp.broadcast_to(nbhi, shp),
+                              jnp.broadcast_to(nblo, shp), meta], axis=-1)
 
+        # exact unambiguous: one event at its group's base slot
+        rows_b2 = jnp.arange(B)[:, None]
         kslot_arr = jnp.broadcast_to(jnp.arange(K, dtype=I32)[None, :],
                                      (B, K))
-        g_exr = jnp.broadcast_to((3 * jnp.arange(K))[None, :], (B, K))
         no_mod = jnp.full((B, K), _NO_MOD)
-        packed = scatter_group(packed, exr_kpos, exr_valid, g_exr, hi, lo,
-                               no_mod, False, kslot_arr)
-        packed = scatter_group(packed, exs_kpos, exs_valid, g_exr + 1, hi,
-                               lo, no_mod, False, kslot_arr)
+        g_exr = goff[:, 0::3]                                  # (B, K)
+        g_exs = goff[:, 1::3]
+        e_r = jnp.where(r_un_v & (g_exr < E), g_exr, E)
+        packed = packed.at[rows_b2, e_r].set(
+            words_for(r_pos, kslot_arr, hi, lo, no_mod, False, r_un_v),
+            mode="drop")
+        e_s = jnp.where(s_un_v & (g_exs < E), g_exs, E)
+        packed = packed.at[rows_b2, e_s].set(
+            words_for(s_pos, kslot_arr, hi, lo, no_mod, False, s_un_v),
+            mode="drop")
 
-        # neighbor events: (NI, H, 10); within-item order = (probe, col)
-        nb_rank = (jnp.cumsum(nb_valid.reshape(NI, -1), axis=-1) - 1)
-        nb_base = goff[it_b, 3 * it_k + 2]
-        e_nb = nb_base[:, None] + nb_rank
-        v_nb = nb_valid.reshape(NI, -1)
-        e_nb = jnp.where(v_nb & (e_nb < E), e_nb, E)
-        b_nb = jnp.broadcast_to(it_b[:, None], e_nb.shape)
+        # exact ambiguous: compacted (NA, 10) aux events
+        na_g = goff[na_b, 3 * na_k + jnp.where(na_isref, 0, 1)]  # (NA,)
+        na_rank = jnp.cumsum(na_colv, axis=-1) - 1
+        e_a = na_g[:, None] + na_rank
+        e_a = jnp.where(na_colv & (e_a < E), e_a, E)
+        packed = packed.at[na_b[:, None], e_a].set(
+            words_for(na_aux,
+                      jnp.broadcast_to(na_k[:, None], na_aux.shape),
+                      hi[na_b, na_k][:, None], lo[na_b, na_k][:, None],
+                      jnp.broadcast_to(jnp.int32(_NO_MOD),
+                                       na_aux.shape),
+                      False, na_colv),
+            mode="drop")
 
-        def nb_field(a):
-            return jnp.broadcast_to(a[..., None],
-                                    a.shape + (10,)).reshape(NI, -1)
-
-        kpos_nb = nb_kpos.reshape(NI, -1)
-        off_nb = nb_field(
-            jnp.broadcast_to((it_k * 32)[:, None], (NI, H))).astype(U32)
-        meta_nb = (nb_field(c_diff).astype(U32)
-                   | (nb_field(jnp.broadcast_to(
-                       it_k[:, None], (NI, H))).astype(U32) << 16)
-                   | (U32(1) << 24)
-                   | (v_nb.astype(U32) << 25))
-        words_nb = jnp.stack([kpos_nb - off_nb, kpos_nb,
-                              nb_field(c_nb_hi), nb_field(c_nb_lo),
-                              meta_nb], axis=-1)
-        packed = packed.at[b_nb, e_nb].set(words_nb, mode="drop")
+        # neighbor events: (NH, 10); order within an item = (probe, col);
+        # within-item base = global exclusive cumsum minus the item's start
+        C_ex = jnp.cumsum(nb_cnt) - nb_cnt                    # (NH,)
+        item_base = jnp.cumsum(nb_n_item) - nb_n_item          # (NI,)
+        within = C_ex - item_base[h_item]
+        nb_g = goff[h_b, 3 * h_k + 2]
+        col_rank = jnp.cumsum(nb_valid, axis=-1) - 1
+        e_nb = (nb_g + within)[:, None] + col_rank
+        e_nb = jnp.where(nb_valid & (e_nb < E), e_nb, E)
+        packed = packed.at[h_b[:, None], e_nb].set(
+            words_for(nb_kpos,
+                      jnp.broadcast_to(h_k[:, None], nb_kpos.shape),
+                      h_nbhi[:, None], h_nblo[:, None],
+                      jnp.broadcast_to(h_diff[:, None], nb_kpos.shape),
+                      True, nb_valid),
+            mode="drop")
 
         pk = packed[:, :E]
         buf = dict(

@@ -489,9 +489,10 @@ class ShardedDictGenoRunner:
             )(arg_t, codes, n_kmers, qual, rc_d, ac_d)
 
         self._step = sharded_step
-        zero = jnp.zeros((D, n + 1), jnp.int32)
-        self.ref_cnt_d = jax.device_put(zero, dsh)
-        self.alt_cnt_d = jax.device_put(zero, dsh)
+        self.ref_cnt_d = jax.device_put(jnp.zeros((D, n + 1), jnp.int32),
+                                        dsh)
+        self.alt_cnt_d = jax.device_put(jnp.zeros((D, n + 1), jnp.int32),
+                                        dsh)
         self._data_sh = dsh
         self.stats_totals: dict = {}
         self.n_reads = 0

@@ -89,9 +89,10 @@ class ShardedGenoRunner:
 
         self._merge = merge
 
-        zero = jnp.zeros((self.D, n + 1), jnp.int32)
-        self.ref_cnt_d = jax.device_put(zero, NamedSharding(mesh, data))
-        self.alt_cnt_d = jax.device_put(zero, NamedSharding(mesh, data))
+        self.ref_cnt_d = jax.device_put(
+            jnp.zeros((self.D, n + 1), jnp.int32), NamedSharding(mesh, data))
+        self.alt_cnt_d = jax.device_put(
+            jnp.zeros((self.D, n + 1), jnp.int32), NamedSharding(mesh, data))
         self.stats_totals: dict = {}
         self.n_reads = 0
         self._shardings = dict(

@@ -157,6 +157,27 @@ class _ShardLocal(LocalBackend):
     def _snp_limit(self):
         return self.snp_total
 
+    def _ref_block_bounds(self, q_hi):
+        d = self.dix
+        zeros = jnp.zeros_like(q_hi)
+        blo = search.lower_bound(d.ref_hi, d.ref_lo, q_hi, zeros)
+        bhi = search.lower_bound(d.ref_hi, d.ref_lo, q_hi + U32(1), zeros)
+        bhi = jnp.where(q_hi == U32(0xFFFFFFFF), self.ref_owned, bhi)
+        blo_c = jnp.minimum(blo, self.ref_owned)
+        bhi_c = jnp.minimum(bhi, self.ref_owned)
+        return blo.astype(I32), (bhi_c - blo_c).astype(I32)
+
+    def _snp_block_bounds(self, q_hi24):
+        d = self.dix
+        zeros = jnp.zeros_like(q_hi24)
+        slo = search.lower_bound(d.snp_hi, d.snp_lo, q_hi24 << 8, zeros)
+        shi = search.lower_bound(d.snp_hi, d.snp_lo,
+                                 (q_hi24 + U32(1)) << 8, zeros)
+        shi = jnp.where(q_hi24 == U32(0xFFFFFF), self.snp_owned, shi)
+        slo_c = jnp.minimum(slo, self.snp_owned)
+        shi_c = jnp.minimum(shi, self.snp_owned)
+        return slo.astype(I32), (shi_c - slo_c).astype(I32)
+
     def ref_scan(self, q_hi, q_lo, active):
         res = super().ref_scan(q_hi, q_lo, active)
         d = self.dix
@@ -407,8 +428,11 @@ class ShardedDictGenoRunner:
             site_ra=jax.device_put(base.site_ra, rsh),
             ref_ht=jax.device_put(dummy_ht, rsh),
             snp_ht=jax.device_put(dummy_ht, rsh),
+            ref_bd=jax.device_put(dummy_ht, rsh),
+            snp_bd=jax.device_put(dummy_ht, rsh),
             snp_bf_bits=base.snp_bf_bits, ref_bf_bits=base.ref_bf_bits,
             ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1, snp_ht_chain=1,
+            ref_bd_nb=1, ref_bd_chain=1, snp_bd_nb=1, snp_bd_chain=1,
         )
         arg_host = ShardedIndexArg(
             dix=shard_dix,
@@ -472,10 +496,13 @@ class ShardedDictGenoRunner:
                     site_pos=none, site_ref=none, site_alt=none,
                     site_bitmap=none, site_rank=none, site_dir=none,
                     site_ra=none, ref_ht=none, snp_ht=none,
+                    ref_bd=none, snp_bd=none,
                     snp_bf_bits=base.snp_bf_bits,
                     ref_bf_bits=base.ref_bf_bits,
                     ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1,
-                    snp_ht_chain=1),
+                    snp_ht_chain=1,
+                    ref_bd_nb=1, ref_bd_chain=1, snp_bd_nb=1,
+                    snp_bd_chain=1),
                 plan=ShardPlan(ref_bounds_hi=none, snp_bounds_hi24=none),
                 my_ref_owned=P(axis), my_snp_owned=P(axis),
                 my_ref_total=P(axis), my_snp_total=P(axis))

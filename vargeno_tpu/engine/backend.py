@@ -79,10 +79,31 @@ class LocalBackend:
                                          d.snp_ht_chain, q_hi, q_lo)
         return hit, pos, info, flag
 
-    def ref_block_size(self, q_hi):
+    def _ref_block_bounds(self, q_hi):
+        """(start_row, size) of the hi32 jumpgate block -- one directory
+        bucket gather instead of two binary searches."""
+        from .hashtable import ht_lookup
+
         d = self.dix
-        blo, bhi = search.block_bounds_hi32(d.ref_hi, d.ref_lo, q_hi)
-        return bhi - blo
+        hit, start, flag, info = ht_lookup(
+            d.ref_bd, d.ref_bd_nb, d.ref_bd_chain, q_hi,
+            jnp.zeros_like(q_hi))
+        size = jnp.where(hit, flag.astype(I32) | (info.astype(I32) << 8), 0)
+        return start.astype(I32), size
+
+    def _snp_block_bounds(self, q_hi24):
+        from .hashtable import ht_lookup
+
+        d = self.dix
+        hit, start, flag, info = ht_lookup(
+            d.snp_bd, d.snp_bd_nb, d.snp_bd_chain, q_hi24,
+            jnp.zeros_like(q_hi24))
+        size = jnp.where(hit, flag.astype(I32) | (info.astype(I32) << 8), 0)
+        return start.astype(I32), size
+
+    def ref_block_size(self, q_hi):
+        _, size = self._ref_block_bounds(q_hi)
+        return size
 
     # stride-bug read limits: index beyond this reads as 0 (fresh-mmap heap
     # model); sharded subclasses override with the true unsharded extent
@@ -100,8 +121,7 @@ class LocalBackend:
         S = self.scan_slots
         NI = q_hi.shape[0]
         n_ref = self._ref_limit()
-        blo, bhi = search.block_bounds_hi32(d.ref_hi, d.ref_lo, q_hi)
-        bsize = bhi - blo
+        blo, bsize = self._ref_block_bounds(q_hi)
         j = jnp.arange(S, dtype=I32)[None, :]
         meta_row = blo[:, None] + j
         stride = 9 if self.stride_bug else 1
@@ -132,8 +152,7 @@ class LocalBackend:
         S = self.scan_slots
         NI = q_hi.shape[0]
         n_snp = self._snp_limit()
-        slo, shi = search.block_bounds_hi24(d.snp_hi, d.snp_lo, q_hi >> 8)
-        ssize = shi - slo
+        slo, ssize = self._snp_block_bounds(q_hi >> 8)
         j = jnp.arange(S, dtype=I32)[None, :]
         meta_row = slo[:, None] + j
         stride = 11 if self.stride_bug else 1

@@ -59,6 +59,11 @@ class DeviceIndex:
     # bucketized hash tables for exact lookups (engine.hashtable)
     ref_ht: jax.Array      # (nb_r, 32) u32
     snp_ht: jax.Array      # (nb_s, 32) u32
+    # block directories: hi32 -> (block start, size) for the ref jumpgate
+    # blocks and hi24 -> (start, size) for snp blocks; replaces two
+    # log2(n)-deep binary searches per block query with one bucket gather
+    ref_bd: jax.Array      # (nb, 32) u32 hash table keyed (hi32, 0)
+    snp_bd: jax.Array      # keyed (hi24, 0)
     # static metadata
     snp_bf_bits: int = dataclasses.field(metadata=dict(static=True))
     ref_bf_bits: int = dataclasses.field(metadata=dict(static=True))
@@ -66,6 +71,10 @@ class DeviceIndex:
     ref_ht_chain: int = dataclasses.field(metadata=dict(static=True))
     snp_ht_nb: int = dataclasses.field(metadata=dict(static=True))
     snp_ht_chain: int = dataclasses.field(metadata=dict(static=True))
+    ref_bd_nb: int = dataclasses.field(metadata=dict(static=True))
+    ref_bd_chain: int = dataclasses.field(metadata=dict(static=True))
+    snp_bd_nb: int = dataclasses.field(metadata=dict(static=True))
+    snp_bd_chain: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_ref(self) -> int:
@@ -145,11 +154,27 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
     snp_tab = build_hash_table(snp_hi, snp_lo, snp_pos_a, snp_flag_a,
                                snp_info_a)
 
+    def block_directory(keys_hi):
+        """hi -> (start_row u32 in pos, size u16 packed in flag|info<<8)."""
+        uniq, start, count = np.unique(keys_hi, return_index=True,
+                                       return_counts=True)
+        size = np.minimum(count, 0xFFFF).astype(np.uint32)
+        return build_hash_table(
+            uniq.astype(np.uint32), np.zeros_like(uniq, np.uint32),
+            start.astype(np.uint32), (size & 0xFF).astype(np.uint8),
+            ((size >> 8) & 0xFF).astype(np.uint8))
+
+    ref_bd = block_directory(ref_hi)
+    snp_bd = block_directory(snp_hi >> 8)
+
     dev = jax.device_put
     return DeviceIndex(
         ref_ht=dev(ref_tab.table), snp_ht=dev(snp_tab.table),
         ref_ht_nb=ref_tab.nb, ref_ht_chain=ref_tab.chain,
         snp_ht_nb=snp_tab.nb, snp_ht_chain=snp_tab.chain,
+        ref_bd=dev(ref_bd.table), snp_bd=dev(snp_bd.table),
+        ref_bd_nb=ref_bd.nb, ref_bd_chain=ref_bd.chain,
+        snp_bd_nb=snp_bd.nb, snp_bd_chain=snp_bd.chain,
         ref_hi=dev(ref_hi), ref_lo=dev(ref_lo),
         ref_pos=dev(ref_pos_a), ref_flag=dev(ref_flag_a),
         ref_aux=dev(ref_aux_a),

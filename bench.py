@@ -102,7 +102,7 @@ def main():
     from vargeno_tpu.engine.geno import GenoRunner
 
     index = build_index(fa, vcf)
-    cfg = GenoConfig(batch_reads=16384, max_read_len=128,
+    cfg = GenoConfig(batch_reads=32768, max_read_len=128,
                      max_kmers_per_read=4, pallas_vote=True)
     runner = GenoRunner(index, cfg, queued_orientation=True)
 

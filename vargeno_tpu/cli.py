@@ -82,6 +82,20 @@ def main(argv=None):
                                      "(BF sizing tool, reference kmerc)")
     p.add_argument("ref_fasta")
 
+    p = sub.add_parser(
+        "genotype",
+        help="legacy 7-arg form; a NO-OP in the reference (the genotype() "
+             "call is commented out, src/qv.cc:2092) - use `geno`")
+    p.add_argument("legacy_args", nargs="*")
+
+    p = sub.add_parser("oracle-geno",
+                       help="run the sequential oracle engine (debug / "
+                            "bit-parity reference mode)")
+    p.add_argument("prefix")
+    p.add_argument("reads_fq")
+    p.add_argument("snp_vcf")
+    p.add_argument("out_vcf")
+
     p = sub.add_parser("vcfbf", help="build Bloom filters only (gbf vcf)")
     p.add_argument("ref_fasta")
     p.add_argument("snp_vcf")
@@ -170,6 +184,30 @@ def main(argv=None):
         ref_dict, _ = dictgen.build_ref_dict(seqs)
         store.write_snp_dict(args.snp_dict, snp_dict)
         store.write_ref_dict(args.ref_dict, ref_dict)
+        return 0
+
+    if args.cmd == "genotype":
+        print("`genotype` is a no-op in the reference binary "
+              "(src/qv.cc:2092); use `geno`.", file=sys.stderr)
+        return 0
+
+    if args.cmd == "oracle-geno":
+        import numpy as np
+
+        from .finalize import finalize_calls
+        from .index import store
+        from .io.vcf_writer import write_calls_vcf
+        from .oracle import OracleEngine
+
+        index = store.load_npz(args.prefix)
+        eng = OracleEngine(index)
+        eng.run_fastq(args.reads_fq)
+        s = index.sites
+        rc = np.array([eng.pileup[int(p)][4] for p in s.pos])
+        ac = np.array([eng.pileup[int(p)][5] for p in s.pos])
+        calls = finalize_calls(index.chrlens, s.pos, s.ref, s.alt, s.rf,
+                               s.af, rc, ac, eng.config)
+        write_calls_vcf(args.snp_vcf, args.out_vcf, calls)
         return 0
 
     if args.cmd == "kmerc":

@@ -318,6 +318,12 @@ class RoutedBackend:
         return ((hit != 0).reshape(shp), pos.reshape(shp),
                 info.reshape(shp), flag.reshape(shp))
 
+    def exact_ref_sparse(self, q_hi, q_lo, valid=None):
+        return self.exact_ref(q_hi, q_lo, valid)
+
+    def exact_snp_sparse(self, q_hi, q_lo, valid=None):
+        return self.exact_snp(q_hi, q_lo, valid)
+
     def ref_block_size(self, q_hi):
         shp = q_hi.shape
         d = self.dix
@@ -430,9 +436,12 @@ class ShardedDictGenoRunner:
             snp_ht=jax.device_put(dummy_ht, rsh),
             ref_bd=jax.device_put(dummy_ht, rsh),
             snp_bd=jax.device_put(dummy_ht, rsh),
+            ref_pf=jax.device_put(dummy_ht.reshape(-1), rsh),
+            snp_pf=jax.device_put(dummy_ht.reshape(-1), rsh),
             snp_bf_bits=base.snp_bf_bits, ref_bf_bits=base.ref_bf_bits,
             ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1, snp_ht_chain=1,
             ref_bd_nb=1, ref_bd_chain=1, snp_bd_nb=1, snp_bd_chain=1,
+            ref_pf_bits=1024, snp_pf_bits=1024,
         )
         arg_host = ShardedIndexArg(
             dix=shard_dix,
@@ -496,13 +505,13 @@ class ShardedDictGenoRunner:
                     site_pos=none, site_ref=none, site_alt=none,
                     site_bitmap=none, site_rank=none, site_dir=none,
                     site_ra=none, ref_ht=none, snp_ht=none,
-                    ref_bd=none, snp_bd=none,
+                    ref_bd=none, snp_bd=none, ref_pf=none, snp_pf=none,
                     snp_bf_bits=base.snp_bf_bits,
                     ref_bf_bits=base.ref_bf_bits,
                     ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1,
                     snp_ht_chain=1,
                     ref_bd_nb=1, ref_bd_chain=1, snp_bd_nb=1,
-                    snp_bd_chain=1),
+                    snp_bd_chain=1, ref_pf_bits=1024, snp_pf_bits=1024),
                 plan=ShardPlan(ref_bounds_hi=none, snp_bounds_hi24=none),
                 my_ref_owned=P(axis), my_snp_owned=P(axis),
                 my_ref_total=P(axis), my_snp_total=P(axis))

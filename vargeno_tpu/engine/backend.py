@@ -79,6 +79,61 @@ class LocalBackend:
                                          d.snp_ht_chain, q_hi, q_lo)
         return hit, pos, info, flag
 
+    # sparse variants: for probe sets that overwhelmingly MISS (Hamming
+    # neighbors), test the one-bit full-key prefilter first and pay the
+    # bucket-chain gathers only for the ~3% of lanes that pass
+    sparse_overflow = None
+
+    def _sparse(self, pf, pf_bits, ht, nb, chain, q_hi, q_lo, valid):
+        from .hashtable import ht_lookup, prefilter_test
+
+        shp = q_hi.shape
+        qh = q_hi.reshape(-1)
+        ql = q_lo.reshape(-1)
+        v = (jnp.ones_like(qh, dtype=bool) if valid is None
+             else valid.reshape(-1))
+        N = qh.shape[0]
+        NS = max(64, N // 4)
+        maybe = v & prefilter_test(pf, pf_bits, qh, ql)
+        tgt = jnp.cumsum(maybe.astype(I32)) - 1
+        keep = maybe & (tgt < NS)
+        ovf = jnp.sum(maybe) - jnp.sum(keep)
+        if self.sparse_overflow is None:
+            self.sparse_overflow = jnp.zeros((), I32)
+        self.sparse_overflow = self.sparse_overflow + ovf
+        srcs = jnp.full(NS, 0, I32).at[
+            jnp.where(keep, tgt, NS)].set(
+                jnp.arange(N, dtype=I32), mode="drop")
+        s_ok = jnp.zeros(NS, bool).at[
+            jnp.where(keep, tgt, NS)].set(True, mode="drop")
+        hit, pos, flag, info = ht_lookup(ht, nb, chain, qh[srcs], ql[srcs])
+        hit = hit & s_ok
+        # scatter back to lanes
+        full_hit = jnp.zeros(N, bool).at[
+            jnp.where(s_ok, srcs, N)].set(hit, mode="drop")
+        full_pos = jnp.zeros(N, U32).at[
+            jnp.where(s_ok, srcs, N)].set(pos, mode="drop")
+        full_flag = jnp.zeros(N, jnp.uint8).at[
+            jnp.where(s_ok, srcs, N)].set(flag, mode="drop")
+        full_info = jnp.zeros(N, jnp.uint8).at[
+            jnp.where(s_ok, srcs, N)].set(info, mode="drop")
+        return (full_hit.reshape(shp), full_pos.reshape(shp),
+                full_flag.reshape(shp), full_info.reshape(shp))
+
+    def exact_ref_sparse(self, q_hi, q_lo, valid=None):
+        d = self.dix
+        hit, pos, flag, _ = self._sparse(
+            d.ref_pf, d.ref_pf_bits, d.ref_ht, d.ref_ht_nb, d.ref_ht_chain,
+            q_hi, q_lo, valid)
+        return hit, pos, flag
+
+    def exact_snp_sparse(self, q_hi, q_lo, valid=None):
+        d = self.dix
+        hit, pos, flag, info = self._sparse(
+            d.snp_pf, d.snp_pf_bits, d.snp_ht, d.snp_ht_nb, d.snp_ht_chain,
+            q_hi, q_lo, valid)
+        return hit, pos, info, flag
+
     def _ref_block_bounds(self, q_hi):
         """(start_row, size) of the hi32 jumpgate block -- one directory
         bucket gather instead of two binary searches."""

@@ -166,9 +166,10 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         nb_lo_big = ((it_lo[:, None] & ~(U32(3) << (2 * bgrid).astype(U32)))
                      | (jgrid.astype(U32) << (2 * bgrid).astype(U32)))
         nb_hi_big = jnp.broadcast_to(it_hi[:, None], nb_lo_big.shape)
-        r_hit, r_pos, r_flag = be.exact_ref(nb_hi_big, nb_lo_big, act_bl)
-        s_hit, s_pos, s_info, s_flag = be.exact_snp(nb_hi_big, nb_lo_big,
-                                                    act_bl)
+        x_ref = getattr(be, "exact_ref_sparse", be.exact_ref)
+        x_snp = getattr(be, "exact_snp_sparse", be.exact_snp)
+        r_hit, r_pos, r_flag = x_ref(nb_hi_big, nb_lo_big, act_bl)
+        s_hit, s_pos, s_info, s_flag = x_snp(nb_hi_big, nb_lo_big, act_bl)
         z8 = jnp.zeros_like(s_info)
         outs.append((
             interleave(act_bl & r_hit, act_bl & s_hit),
@@ -194,9 +195,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         act_snp = (it_valid[:, None] & base_ok
                    & (big[:, None] | (bitpos >= 40))
                    & (bitpos < snp_bound[:, None]))
-        rh_hit, rh_pos, rh_flag = be.exact_ref(nb_hi_h, nb_lo_h, act_ref)
-        sh_hit, sh_pos, sh_info, sh_flag = be.exact_snp(nb_hi_h, nb_lo_h,
-                                                        act_snp)
+        rh_hit, rh_pos, rh_flag = x_ref(nb_hi_h, nb_lo_h, act_ref)
+        sh_hit, sh_pos, sh_info, sh_flag = x_snp(nb_hi_h, nb_lo_h, act_snp)
         outs.append((
             interleave(act_ref & rh_hit, act_snp & sh_hit),
             interleave(jnp.ones_like(act_ref), jnp.zeros_like(act_snp)),
@@ -671,6 +671,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         rovf = getattr(be, "route_overflow", None)
         if rovf is not None:
             stats["route_overflow"] = rovf
+        sovf = getattr(be, "sparse_overflow", None)
+        if sovf is not None:
+            stats["sparse_overflow"] = sovf
         if return_debug:
             debug = dict(
                 fwd_process=fwd["process"], fwd_target=fwd["target"],
@@ -697,6 +700,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         rovf = getattr(be, "route_overflow", None)
         if rovf is not None:
             stats["route_overflow"] = rovf
+        sovf = getattr(be, "sparse_overflow", None)
+        if sovf is not None:
+            stats["sparse_overflow"] = sovf
         return (ref_cnt, alt_cnt, res["process"], res["read_ok"], stats)
 
     jitted = jax.jit(step, donate_argnums=(4, 5))

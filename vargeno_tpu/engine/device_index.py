@@ -59,6 +59,10 @@ class DeviceIndex:
     # bucketized hash tables for exact lookups (engine.hashtable)
     ref_ht: jax.Array      # (nb_r, 32) u32
     snp_ht: jax.Array      # (nb_s, 32) u32
+    # full-key membership prefilters (engine.hashtable.prefilter_*):
+    # sparse probe sets test one bit before paying the bucket-chain gathers
+    ref_pf: jax.Array      # (pf_bits/32,) u32
+    snp_pf: jax.Array
     # block directories: hi32 -> (block start, size) for the ref jumpgate
     # blocks and hi24 -> (start, size) for snp blocks; replaces two
     # log2(n)-deep binary searches per block query with one bucket gather
@@ -71,6 +75,8 @@ class DeviceIndex:
     ref_ht_chain: int = dataclasses.field(metadata=dict(static=True))
     snp_ht_nb: int = dataclasses.field(metadata=dict(static=True))
     snp_ht_chain: int = dataclasses.field(metadata=dict(static=True))
+    ref_pf_bits: int = dataclasses.field(metadata=dict(static=True))
+    snp_pf_bits: int = dataclasses.field(metadata=dict(static=True))
     ref_bd_nb: int = dataclasses.field(metadata=dict(static=True))
     ref_bd_chain: int = dataclasses.field(metadata=dict(static=True))
     snp_bd_nb: int = dataclasses.field(metadata=dict(static=True))
@@ -167,11 +173,25 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
     ref_bd = block_directory(ref_hi)
     snp_bd = block_directory(snp_hi >> 8)
 
+    from .hashtable import prefilter_bits
+
+    def pf_size(n):
+        # ~32 bits per key, power of two, min 1 Mbit
+        b = 1 << max(20, int(np.ceil(np.log2(max(n, 1) * 32))))
+        return min(b, 1 << 33)
+
+    ref_pf_bits = pf_size(ref_hi.shape[0])
+    snp_pf_bits = pf_size(snp_hi.shape[0])
+    ref_pf = prefilter_bits(ref_hi, ref_lo, ref_pf_bits)
+    snp_pf = prefilter_bits(snp_hi, snp_lo, snp_pf_bits)
+
     dev = jax.device_put
     return DeviceIndex(
         ref_ht=dev(ref_tab.table), snp_ht=dev(snp_tab.table),
         ref_ht_nb=ref_tab.nb, ref_ht_chain=ref_tab.chain,
         snp_ht_nb=snp_tab.nb, snp_ht_chain=snp_tab.chain,
+        ref_pf=dev(ref_pf), snp_pf=dev(snp_pf),
+        ref_pf_bits=ref_pf_bits, snp_pf_bits=snp_pf_bits,
         ref_bd=dev(ref_bd.table), snp_bd=dev(snp_bd.table),
         ref_bd_nb=ref_bd.nb, ref_bd_chain=ref_bd.chain,
         snp_bd_nb=snp_bd.nb, snp_bd_chain=snp_bd.chain,

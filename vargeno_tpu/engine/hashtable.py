@@ -106,6 +106,27 @@ def build_hash_table(hi: np.ndarray, lo: np.ndarray, pos: np.ndarray,
     return HostHashTable(table=table, nb=nb, chain=int(chain))
 
 
+def prefilter_bits(hi: np.ndarray, lo: np.ndarray, pf_bits: int
+                   ) -> np.ndarray:
+    """Host build of the full-key membership prefilter bitmap (LSB-first
+    u32 words). One bit per key via the same bucket hash family; at a few
+    percent fill this prunes ~97% of miss probes to a single gather."""
+    with np.errstate(over="ignore"):
+        h = np_hash32(lo) ^ (np_hash32(hi) * np.uint32(_MIX))
+    bit = (h & np.uint32(pf_bits - 1)).astype(np.int64)
+    words = np.zeros(pf_bits // 32, np.uint32)
+    np.bitwise_or.at(words, bit >> 5,
+                     np.uint32(1) << (bit & 31).astype(np.uint32))
+    return words
+
+
+def prefilter_test(words, pf_bits: int, q_hi, q_lo):
+    h = hash32(q_lo) ^ (hash32(q_hi) * U32(_MIX))
+    bit = h & U32(pf_bits - 1)
+    w = jnp.take(words, (bit >> 5).astype(jnp.int32), axis=0, mode="clip")
+    return ((w >> (bit & U32(31))) & U32(1)) != 0
+
+
 def ht_lookup(table2d, nb: int, chain: int, q_hi, q_lo):
     """Returns (hit, pos, flag, info) for any query shape."""
     h = hash32(q_lo) ^ (hash32(q_hi) * U32(_MIX))

@@ -55,6 +55,8 @@ def main(argv=None):
     p.add_argument("out_vcf")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint path for resumable runs")
+    p.add_argument("--metrics", default=None,
+                   help="append jsonl throughput metrics to this path")
     p.add_argument("--pallas-vote", action="store_true",
                    help="use the Pallas VMEM vote kernel (TPU)")
     p.add_argument("--mesh", type=int, default=0,
@@ -155,9 +157,11 @@ def main(argv=None):
         from .index import store
 
         index = store.load_npz(args.prefix)
-        runner = GenoRunner(index, cfg)
+        runner = GenoRunner(index, cfg, metrics_path=args.metrics)
         runner.consume_fastq(args.reads_fq,
                              checkpoint_path=args.checkpoint)
+        if args.metrics:
+            runner.meter.emit()
         runner.write_vcf(args.snp_vcf, args.out_vcf)
         return 0
 

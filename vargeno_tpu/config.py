@@ -69,6 +69,9 @@ class GenoConfig:
     probe_hit_cap: int = 32        # compacted neighbor probe hits per item
     agree_cap: int = 16            # agreeing contexts per read for pileup
     replicate_stride_bug: bool = True  # qv.cc:359/448 pointer-arith bug
+    scan_slot_cap: int = 24        # gathered block-scan slots (<=100); real
+                                   # jumpgate blocks are tiny, overflow is
+                                   # counted if one exceeds the cap
     pallas_vote: bool = False      # VMEM-resident vote kernel (TPU only)
     pallas_interpret: bool = False  # run Pallas kernels interpreted (CPU)
 

@@ -53,11 +53,11 @@ class LocalBackend:
     scan_slots = 100  # == BLOCK_SIZE_THRESHOLD: no truncation possible
 
     def __init__(self, dix: DeviceIndex, stride_bug: bool,
-                 block_size_threshold: int):
+                 block_size_threshold: int, scan_slot_cap: int = 100):
         self.dix = dix
         self.stride_bug = stride_bug
         self.S = block_size_threshold
-        self.scan_slots = block_size_threshold
+        self.scan_slots = min(scan_slot_cap, block_size_threshold)
 
     # --- exact queries (one bucket-row gather per probe; hashtable.py) ---
 
@@ -200,7 +200,8 @@ class LocalBackend:
             nb_hi=jnp.broadcast_to(q_hi[:, None], (NI, S)),
             nb_lo=test_lo,
             diff=k2,
-            overflow=jnp.zeros((), I32))
+            overflow=jnp.sum(jnp.maximum(
+                jnp.where(active & (bsize < self.S), bsize, 0) - S, 0)))
 
     def snp_scan(self, q_hi, q_lo, active) -> ScanResult:
         d = self.dix
@@ -240,4 +241,4 @@ class LocalBackend:
             nb_lo=e_lo,
             diff=k2s,
             overflow=jnp.sum(jnp.maximum(
-                jnp.where(active, ssize, 0) - S, 0)))
+                jnp.where(active & (ssize < 0x10000), ssize, 0) - S, 0)))

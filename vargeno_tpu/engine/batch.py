@@ -109,7 +109,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
     if backend_factory is None:
         def backend_factory(dix_t):
             return LocalBackend(dix_t, cfg.replicate_stride_bug,
-                                cfg.block_size_threshold)
+                                cfg.block_size_threshold,
+                                cfg.scan_slot_cap)
 
     # probe slot geometry depends on the backend's scan capacity
     SCAN = backend_factory(dix).scan_slots
@@ -243,19 +244,6 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         return kpos, ev_valid
 
     # ------------------------------------------------------------------
-    def expand_exact_events(dix, is_ref: bool, hit, pos, flag):
-        """(B, K) exact hits -> (B, K, 10) events (no checks)."""
-        aux_arr = dix.ref_aux if is_ref else dix.snp_aux_pos
-        aux = take(aux_arr,
-                   jnp.minimum(pos, U32(aux_arr.shape[0] - 1)).astype(I32))
-        usable = hit & (pos != _POS_AMBIG)
-        unamb = flag == 0
-        col0 = (jnp.arange(10) == 0)
-        kpos = jnp.where(unamb[..., None] & col0, pos[..., None], aux)
-        ev_valid = usable[..., None] & jnp.where(unamb[..., None], col0,
-                                                 aux != 0)
-        return kpos, ev_valid
-
     # ------------------------------------------------------------------
     def orientation_pass(dix, be, codes, n_kmers, qual):
         B, K, E, C, NI, H = sh.B, sh.K, sh.E, sh.C, sh.NI, sh.H

@@ -35,7 +35,8 @@ class GenoRunner:
 
     def __init__(self, index: store.VarGenoIndex,
                  config: GenoConfig = DEFAULT_CONFIG,
-                 queued_orientation: bool = True):
+                 queued_orientation: bool = True,
+                 metrics_path=None):
         self.index = index
         self.config = config
         self.dix = build_device_index(index)
@@ -46,6 +47,9 @@ class GenoRunner:
         self.alt_cnt = jnp.zeros(n + 1, jnp.int32)
         self.stats_totals: dict = {}
         self.n_reads = 0
+        from ..utils.profiling import Meter
+
+        self.meter = Meter(metrics_path)
 
     def consume_fastq(self, fastq_path: str,
                       limit_batches: Optional[int] = None,
@@ -124,6 +128,7 @@ class GenoRunner:
                 self.ref_cnt, self.alt_cnt)
             self.n_reads += count_reads
             self._bump(stats)
+            self.meter.bump(count_reads)
             nb += 1
             return process, read_ok
 

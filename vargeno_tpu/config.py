@@ -72,6 +72,13 @@ class GenoConfig:
     scan_slot_cap: int = 24        # gathered block-scan slots (<=100); real
                                    # jumpgate blocks are tiny, overflow is
                                    # counted if one exceeds the cap
+    sparse_frac: float = 0.25      # survivor-lane fraction kept after the
+                                   # full-key prefilter in sparse lookups
+    auto_retry_max: int = 3        # overflow escalation rounds per batch:
+                                   # a batch that trips any capacity counter
+                                   # is re-run with the tripped caps doubled
+                                   # (0 disables; results then may diverge
+                                   # from the reference on overflow)
     pallas_vote: bool = False      # VMEM-resident vote kernel (TPU only)
     pallas_interpret: bool = False  # run Pallas kernels interpreted (CPU)
 

@@ -53,11 +53,13 @@ class LocalBackend:
     scan_slots = 100  # == BLOCK_SIZE_THRESHOLD: no truncation possible
 
     def __init__(self, dix: DeviceIndex, stride_bug: bool,
-                 block_size_threshold: int, scan_slot_cap: int = 100):
+                 block_size_threshold: int, scan_slot_cap: int = 100,
+                 sparse_frac: float = 0.25):
         self.dix = dix
         self.stride_bug = stride_bug
         self.S = block_size_threshold
         self.scan_slots = min(scan_slot_cap, block_size_threshold)
+        self.sparse_frac = sparse_frac
 
     # --- exact queries (one bucket-row gather per probe; hashtable.py) ---
 
@@ -93,7 +95,7 @@ class LocalBackend:
         v = (jnp.ones_like(qh, dtype=bool) if valid is None
              else valid.reshape(-1))
         N = qh.shape[0]
-        NS = max(64, N // 4)
+        NS = max(64, min(N, int(N * self.sparse_frac)))
         maybe = v & prefilter_test(pf, pf_bits, qh, ql)
         tgt = jnp.cumsum(maybe.astype(I32)) - 1
         keep = maybe & (tgt < NS)

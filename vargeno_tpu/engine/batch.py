@@ -110,7 +110,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         def backend_factory(dix_t):
             return LocalBackend(dix_t, cfg.replicate_stride_bug,
                                 cfg.block_size_threshold,
-                                cfg.scan_slot_cap)
+                                cfg.scan_slot_cap, cfg.sparse_frac)
 
     # probe slot geometry depends on the backend's scan capacity
     SCAN = backend_factory(dix).scan_slots

@@ -8,9 +8,11 @@ bit-parity with the reference's double model) and rewrites the VCF.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,6 +23,48 @@ from ..io.fastq import iter_read_batches
 from ..io.vcf_writer import write_calls_vcf
 from .batch import make_batch_processor
 from .device_index import build_device_index
+
+
+def _escalate_config(cfg: GenoConfig, tripped) -> GenoConfig:
+    """Double every capacity whose overflow counter fired (the reference has
+    no such caps -- its buffers are unbounded heap structures -- so any
+    overflow means potential divergence; escalation restores exactness)."""
+    upd: dict = {}
+
+    def bump(field, cap=None):
+        cur = upd.get(field, getattr(cfg, field))
+        new = cur * 2
+        if isinstance(cur, int):
+            new = int(new)
+        if cap is not None:
+            new = min(new, cap)
+        if new != cur:
+            upd[field] = new
+
+    for key in tripped:
+        base = key.split("_", 1)[1] if key.startswith(("fwd_", "rev_")) \
+            else key
+        if base == "ni_overflow":
+            bump("neighbor_item_frac", 1.0)
+        elif base == "probe_overflow":
+            bump("probe_hit_cap")
+        elif base == "event_overflow":
+            bump("events_per_read")
+        elif base == "cand_overflow":
+            bump("candidates_per_read")
+        elif base == "snp_scan_overflow":
+            bump("scan_slot_cap", cfg.block_size_threshold)
+        elif base == "agree_overflow":
+            bump("agree_cap")
+        elif base == "sparse_overflow":
+            bump("sparse_frac", 1.0)
+    if not upd:
+        return cfg
+    return dataclasses.replace(cfg, **upd)
+
+
+_merge_counts = jax.jit(lambda a, b, c, d: (a + c, b + d),
+                        donate_argnums=(0, 1, 2, 3))
 
 
 class GenoRunner:
@@ -40,7 +84,9 @@ class GenoRunner:
         self.index = index
         self.config = config
         self.dix = build_device_index(index)
-        self.step = make_batch_processor(self.dix, config)
+        self._procs: dict = {}
+        self._cfg_run = config   # escalated in place when capacities trip
+        self.step = self._proc(config)
         self.queued = queued_orientation
         n = self.dix.n_sites
         self.ref_cnt = jnp.zeros(n + 1, jnp.int32)
@@ -50,6 +96,51 @@ class GenoRunner:
         from ..utils.profiling import Meter
 
         self.meter = Meter(metrics_path)
+
+    def _proc(self, cfg: GenoConfig):
+        proc = self._procs.get(cfg)
+        if proc is None:
+            proc = self._procs[cfg] = make_batch_processor(self.dix, cfg)
+        return proc
+
+    @staticmethod
+    def _merge(trc, tac, rc, ac):
+        return _merge_counts(trc, tac, rc, ac)
+
+    def _run_batch(self, codes, nk, qual, single: bool):
+        """Run one batch into fresh accumulators, escalating any tripped
+        capacity (auto_retry_max rounds), then merge into the totals.
+        Re-running the same batch with larger caps is deterministic, so the
+        merged counts match a reference run exactly even when the first
+        attempt truncated."""
+        codes = jnp.asarray(codes)
+        nk = jnp.asarray(nk)
+        qual = jnp.asarray(qual)
+        n = self.dix.n_sites
+        rounds = 0
+        process = read_ok = None
+        while True:
+            proc = self._proc(self._cfg_run)
+            self.step = proc
+            z = jnp.zeros(n + 1, jnp.int32)
+            z2 = jnp.zeros(n + 1, jnp.int32)
+            if single:
+                rc, ac, process, read_ok, stats = proc.single(
+                    codes, nk, qual, z, z2)
+            else:
+                rc, ac, stats = proc(codes, nk, qual, z, z2)
+            tripped = [k for k, v in stats.items()
+                       if "overflow" in k and int(v)]
+            if not tripped or rounds >= self.config.auto_retry_max:
+                break
+            new_cfg = _escalate_config(self._cfg_run, tripped)
+            if new_cfg == self._cfg_run:
+                break
+            self._cfg_run = new_cfg
+            rounds += 1
+        self.ref_cnt, self.alt_cnt = self._merge(
+            self.ref_cnt, self.alt_cnt, rc, ac)
+        return process, read_ok, stats
 
     def consume_fastq(self, fastq_path: str,
                       limit_batches: Optional[int] = None,
@@ -77,9 +168,8 @@ class GenoRunner:
                                            cfg.max_read_len,
                                            cfg.max_kmers_per_read,
                                            skip_reads=skip):
-                self.ref_cnt, self.alt_cnt, stats = self.step(
-                    jnp.asarray(batch.codes), jnp.asarray(batch.n_kmers),
-                    jnp.asarray(batch.qual), self.ref_cnt, self.alt_cnt)
+                _, _, stats = self._run_batch(
+                    batch.codes, batch.n_kmers, batch.qual, single=False)
                 self.n_reads += batch.n_valid
                 for k, v in stats.items():
                     self.stats_totals[k] = self.stats_totals.get(k, 0) \
@@ -122,10 +212,8 @@ class GenoRunner:
             """Dispatch one batch; returns device futures (async) so the
             host can overlap queue bookkeeping with device compute."""
             nonlocal nb, pend_n
-            (self.ref_cnt, self.alt_cnt, process, read_ok,
-             stats) = self.step.single(
-                jnp.asarray(codes), jnp.asarray(nk), jnp.asarray(qual),
-                self.ref_cnt, self.alt_cnt)
+            process, read_ok, stats = self._run_batch(
+                codes, nk, qual, single=True)
             self.n_reads += count_reads
             self._bump(stats)
             self.meter.bump(count_reads)

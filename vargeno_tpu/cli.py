@@ -22,6 +22,16 @@ def _add_engine_flags(p):
     p.add_argument("--no-stride-bug", action="store_true",
                    help="disable replication of the reference's small-block "
                         "scan pointer bug (qv.cc:359) - 'intended' behavior")
+    g = p.add_argument_group("engine capacities (auto-escalated on "
+                             "overflow; see --auto-retry-max)")
+    g.add_argument("--events-per-read", type=int, default=None)
+    g.add_argument("--candidates-per-read", type=int, default=None)
+    g.add_argument("--neighbor-item-frac", type=float, default=None)
+    g.add_argument("--probe-hit-cap", type=int, default=None)
+    g.add_argument("--agree-cap", type=int, default=None)
+    g.add_argument("--scan-slot-cap", type=int, default=None)
+    g.add_argument("--auto-retry-max", type=int, default=None,
+                   help="max per-batch cap-doubling rounds (0 disables)")
 
 
 def _config(args):
@@ -34,6 +44,12 @@ def _config(args):
                   max_read_len=args.max_read_len,
                   max_kmers_per_read=K,
                   replicate_stride_bug=not args.no_stride_bug)
+        for f in ("events_per_read", "candidates_per_read",
+                  "neighbor_item_frac", "probe_hit_cap", "agree_cap",
+                  "scan_slot_cap", "auto_retry_max"):
+            v = getattr(args, f, None)
+            if v is not None:
+                kw[f] = v
     return GenoConfig(**kw)
 
 

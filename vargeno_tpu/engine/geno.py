@@ -64,7 +64,7 @@ def _escalate_config(cfg: GenoConfig, tripped) -> GenoConfig:
 
 
 _merge_counts = jax.jit(lambda a, b, c, d: (a + c, b + d),
-                        donate_argnums=(0, 1, 2, 3))
+                        donate_argnums=(0, 1))
 
 
 class GenoRunner:

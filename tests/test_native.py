@@ -29,6 +29,47 @@ def test_fastq_batches_match_python():
         np.testing.assert_array_equal(a.qual, b.qual)
 
 
+def test_ht_build_native_matches_numpy_lookups():
+    """Placement may differ (sequential insertion vs numpy rounds) but every
+    lookup result must be identical, present or absent."""
+    import jax
+    import jax.numpy as jnp
+
+    from vargeno_tpu.engine.hashtable import build_hash_table, ht_lookup
+
+    rng = np.random.default_rng(3)
+    n = 1 << 17  # >= the native-path threshold in build_hash_table
+    keys = np.unique(rng.integers(0, 1 << 63, n + n // 4,
+                                  dtype=np.uint64))[:n]
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    pos = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    flag = rng.integers(0, 2, n, dtype=np.uint8)
+    info = rng.integers(0, 256, n, dtype=np.uint8)
+
+    tn = build_hash_table(hi, lo, pos, flag, info, use_native=True)
+    tp = build_hash_table(hi, lo, pos, flag, info, use_native=False)
+    assert tn.nb == tp.nb
+
+    m = 20000
+    qh = np.concatenate([hi[:m], rng.integers(0, 1 << 32, m,
+                                              dtype=np.uint64)
+                         .astype(np.uint32)])
+    ql = np.concatenate([lo[:m], rng.integers(0, 1 << 32, m,
+                                              dtype=np.uint64)
+                         .astype(np.uint32)])
+    f = jax.jit(lambda t, a, b, nb, ch: ht_lookup(t, nb, ch, a, b),
+                static_argnums=(3, 4))
+    rn = f(jnp.asarray(tn.table), jnp.asarray(qh), jnp.asarray(ql),
+           tn.nb, tn.chain)
+    rp = f(jnp.asarray(tp.table), jnp.asarray(qh), jnp.asarray(ql),
+           tp.nb, tp.chain)
+    for a, b, name in zip(rn, rp, ("hit", "pos", "flag", "info")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    assert int(np.asarray(rn[0])[:m].sum()) == m  # all present keys found
+
+
 def test_rolling_kmers_match_numpy():
     rng = np.random.default_rng(1)
     codes = rng.integers(0, 5, 5000).astype(np.uint8)  # includes N=4

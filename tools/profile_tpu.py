@@ -18,7 +18,7 @@ from vargeno_tpu.engine.device_index import build_device_index
 from vargeno_tpu.index import store
 from vargeno_tpu.io.fastq import iter_read_batches
 
-CACHE = "/tmp/vgt_bench"
+CACHE = os.environ.get("VGT_CACHE", "/tmp/vgt_bench48")
 
 
 def timeit(fn, *args, n=5, warmup=1):
@@ -125,9 +125,6 @@ def main():
         print(f"{name:24s} {dt*1e3:9.2f} ms")
 
 
-if __name__ == "__main__":
-    main()
-
 def ablate_profile():
     nif = float(sys.argv[1]) if len(sys.argv) > 1 else 0.0625
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
@@ -149,5 +146,8 @@ def ablate_profile():
         dt = timeit(run, codes, nk, qual, n=3)
         print(f"ablate={mode or 'full':10s} {dt*1e3:9.1f} ms  {B/dt:9.0f} reads/s")
 
-if __name__ == "__main__" and os.environ.get("ABLATE"):
-    ablate_profile()
+if __name__ == "__main__":
+    if os.environ.get("ABLATE"):
+        ablate_profile()
+    else:
+        main()

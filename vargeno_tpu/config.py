@@ -67,7 +67,9 @@ class GenoConfig:
     candidates_per_read: int = 32  # distinct candidate positions in the vote table
     neighbor_item_frac: float = 0.0625  # cap on low-qual kmers per batch, xB*K
     probe_hit_cap: int = 32        # compacted neighbor probe hits per item
-    agree_cap: int = 16            # agreeing contexts per read for pileup
+    agree_cap: int = 4             # AVG agreeing contexts per read: the
+                                   # pileup stage's flat batch-wide context
+                                   # buffer holds batch_reads*agree_cap
     replicate_stride_bug: bool = True  # qv.cc:359/448 pointer-arith bug
     scan_slot_cap: int = 24        # gathered block-scan slots (<=100); real
                                    # jumpgate blocks are tiny, overflow is

@@ -44,10 +44,23 @@ class HostHashTable:
 def build_hash_table(hi: np.ndarray, lo: np.ndarray, pos: np.ndarray,
                      flag: np.ndarray, info: np.ndarray | None,
                      slots_per_bucket: int = 8,
-                     target_load: float = 0.3) -> HostHashTable:
+                     target_load: float = 0.3,
+                     use_native: bool = True) -> HostHashTable:
     n = hi.shape[0]
     nb = 1 << max(2, int(np.ceil(np.log2(
         max(n / (slots_per_bucket * target_load), 1.0)))))
+
+    if use_native and n >= (1 << 16):
+        from .. import native
+
+        if native.available():
+            # single-pass sequential insertion at memory speed; placement
+            # differs from the numpy rounds but any consistent placement
+            # with a valid chain bound yields identical lookups
+            table, chain = native.ht_build(hi, lo, pos, flag, info, nb,
+                                           slots_per_bucket)
+            return HostHashTable(table=table, nb=nb, chain=chain)
+
     home = _bucket_hash_np(hi, lo, nb)
 
     bucket = home.copy()

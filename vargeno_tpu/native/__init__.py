@@ -68,6 +68,12 @@ def _load():
             ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.vgt_ht_build.restype = ctypes.c_int64
+        lib.vgt_ht_build.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         return _lib
 
@@ -103,6 +109,34 @@ def fastq_batches(path: str, batch: int, L: int, K: int):
             n_kmers[got:] = 0
             qual[got:] = 0
         yield codes, n_kmers, qual, int(got)
+
+
+def ht_build(hi, lo, pos, flag, info, nb: int, slots: int):
+    """Sequential-insertion bucketized hash-table build.
+
+    Returns (table (nb, slots*4) uint32, chain bound). `info` may be None.
+    """
+    lib = _load()
+    assert lib is not None
+    n = hi.shape[0]
+    table = np.zeros((nb, slots * 4), np.uint32)
+    cap = np.zeros(nb, np.uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    hi = np.ascontiguousarray(hi, np.uint32)
+    lo = np.ascontiguousarray(lo, np.uint32)
+    pos = np.ascontiguousarray(pos, np.uint32)
+    flag = np.ascontiguousarray(flag, np.uint8)
+    info_p = None
+    if info is not None:
+        info = np.ascontiguousarray(info, np.uint8)
+        info_p = info.ctypes.data_as(ctypes.c_void_p)
+    chain = lib.vgt_ht_build(
+        hi.ctypes.data_as(u32p), lo.ctypes.data_as(u32p),
+        pos.ctypes.data_as(u32p), flag.ctypes.data_as(u8p),
+        info_p, n, nb, slots,
+        table.ctypes.data_as(u32p), cap.ctypes.data_as(u8p))
+    return table, int(chain)
 
 
 def bf_set_bits(words: np.ndarray, bit_idx: np.ndarray) -> None:

@@ -135,4 +135,41 @@ void vgt_bf_test_bits(const uint64_t* words, const uint64_t* bit_idx,
   }
 }
 
+// Bucketized hash-table build (layout of engine/hashtable.py): sequential
+// insertion with linear probing over `slots`-wide buckets; one contiguous
+// (nb, slots*4) uint32 row per bucket. Returns the lookup chain bound
+// (max displacement + 1). `table` must be zeroed, `cap` a zeroed (nb,)
+// uint8 scratch. Replaces the numpy round-based placement (80 s at 48M
+// keys) with a single pass at memory speed.
+static inline uint32_t vgt_hash32(uint32_t x) {
+  x = ((x >> 16) ^ x) * 0x45d9f3bu;
+  x = ((x >> 16) ^ x) * 0x45d9f3bu;
+  return (x >> 16) ^ x;
+}
+
+int64_t vgt_ht_build(const uint32_t* hi, const uint32_t* lo,
+                     const uint32_t* pos, const uint8_t* flag,
+                     const uint8_t* info, int64_t n, int64_t nb,
+                     int64_t slots, uint32_t* table, uint8_t* cap) {
+  uint64_t maxd = 0;
+  const uint32_t kMix = 0x9E3779B9u;
+  const uint32_t mask = (uint32_t)(nb - 1);
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t h = vgt_hash32(lo[i]) ^ (vgt_hash32(hi[i]) * kMix);
+    int64_t b = (int64_t)(h & mask);
+    uint64_t d = 0;
+    while (cap[b] >= slots) { b = (b + 1) & mask; ++d; }
+    int64_t col = cap[b]++;
+    uint32_t* row = table + (b * slots + col) * 4;
+    row[0] = hi[i];
+    row[1] = lo[i];
+    row[2] = pos[i];
+    uint32_t meta = 0x80000000u | (uint32_t)flag[i];
+    if (info) meta |= ((uint32_t)info[i]) << 16;
+    row[3] = meta;
+    if (d > maxd) maxd = d;
+  }
+  return (int64_t)maxd + 1;
+}
+
 }  // extern "C"

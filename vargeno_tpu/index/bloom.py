@@ -57,6 +57,17 @@ class BitVector:
         m = np.uint64(1) << (idx & np.uint64(63))
         np.bitwise_or.at(self.words, w, m)
 
+    def set_hashes_mod(self, hashes: np.ndarray) -> None:
+        """set_bits(hashes % bits), with the u64 modulo fused into the
+        native pass (numpy's u64 % is a scalar fallback)."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        from .. import native
+
+        if hashes.size > 4096 and native.available():
+            native.bf_mod_set(self.words, hashes, self.bits)
+            return
+        self.set_bits(hashes % np.uint64(self.bits))
+
     def test_bits(self, idx: np.ndarray) -> np.ndarray:
         idx = np.asarray(idx, dtype=np.uint64)
         w = (idx >> np.uint64(6)).astype(np.int64)
@@ -106,12 +117,22 @@ def build_ref_bfs(seqs: List[Seq], ref_bits: int, lite_bits: int):
                 f"{s.full_name!r} (reference would abort)")
         if s.size < 32:
             raise ValueError("sequence shorter than k (reference asserts)")
+        kmers = _valid_rolling_kmers(codes)
+        lo = (kmers & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        ref_bf.set_hashes_mod(np_hash32(lo).astype(np.uint64))
+        lite_bf.set_hashes_mod(np_hash40(kmers & _LO40_MASK))
+    return ref_bf, lite_bf
+
+
+def _valid_rolling_kmers(codes: np.ndarray) -> np.ndarray:
+    from .. import native
+
+    if codes.size > 4096 and native.available():
+        roll, ok = native.rolling_kmers(codes)
+    else:
         roll = np_rolling_kmers_u64(codes)
         ok = ~np_window_has_n(codes)
-        kmers = roll[ok]
-        ref_bf.set_bits(ref_bf_bits_from_kmers(kmers, ref_bits))
-        lite_bf.set_bits(lite_bf_bits_from_kmers(kmers, lite_bits))
-    return ref_bf, lite_bf
+    return roll[ok]
 
 
 def build_snp_bf(seqs: List[Seq], vcf_path: str, snp_bits: int) -> BitVector:
@@ -124,14 +145,17 @@ def build_snp_bf(seqs: List[Seq], vcf_path: str, snp_bits: int) -> BitVector:
     bf = BitVector.zeros(snp_bits)
     pre_chr_name = "XO"
     cur: Seq | None = None
-    raw_cache = {}
 
-    def raw_codes(s: Seq) -> np.ndarray:
-        r = raw_cache.get(id(s))
-        if r is None:
-            r = s.codes_raw()
-            raw_cache[id(s)] = r
-        return r
+    # scalar filters + chromosome state machine stay in the scan; the left-
+    # window N checks and k-mer packing (per-row 32-step loops before) are
+    # batched per chromosome afterwards. Bloom insertion is an idempotent
+    # OR, so batch order does not matter; the two abort conditions are
+    # re-raised for the FIRST offending row in scan order to match the
+    # sequential semantics (a >4 char raises before the ALT check iff the
+    # left window is N-free -- cc:230-260 evaluation order).
+    c_seq = []
+    c_pos = []
+    c_alt = []
 
     for row in iter_vcf_rows(vcf_path):
         chr_name = row.chrom
@@ -153,21 +177,52 @@ def build_snp_bf(seqs: List[Seq], vcf_path: str, snp_bits: int) -> BitVector:
         alt_nt = row.alt
         if cur is None or chr(cur.raw[pos]) != ref_nt or ref_nt == alt_nt:
             continue
-        codes = raw_codes(cur)
-        left = codes[pos - 32 : pos]
-        if (left > 4).any():
+        c_seq.append(cur)
+        c_pos.append(pos)
+        c_alt.append(alt_nt)
+
+    n = len(c_pos)
+    if n == 0:
+        return bf
+    pos_a = np.asarray(c_pos, np.int64)
+    alt_a = np.asarray(c_alt)
+    bad_char = np.zeros(n, bool)   # any code > 4 in the left window
+    has_n = np.zeros(n, bool)      # any code > 3 in the left window
+    kmer_a = np.zeros(n, np.uint64)
+    groups = {}
+    for i, s in enumerate(c_seq):
+        groups.setdefault(id(s), (s, []))[1].append(i)
+    for s, rows_l in groups.values():
+        rows = np.asarray(rows_l, np.int64)
+        codes = s.codes_raw()
+        over4 = np.zeros(codes.shape[0] + 1, np.int64)
+        np.cumsum(codes > 4, out=over4[1:])
+        over3 = np.zeros(codes.shape[0] + 1, np.int64)
+        np.cumsum(codes > 3, out=over3[1:])
+        p = pos_a[rows]
+        bad_char[rows] = (over4[p] - over4[p - 32]) > 0
+        has_n[rows] = (over3[p] - over3[p - 32]) > 0
+        roll = None
+        ok = rows[~has_n[rows]]
+        if ok.size:
+            from ..index.dictgen import _rolling_kmers_of
+
+            roll = _rolling_kmers_of(codes)
+            kmer_a[ok] = roll[pos_a[ok] - 32]
+
+    alt_n = (alt_a == "N") | (alt_a == "n")
+    # '' passes the C substring test (strstr semantics of `x in "ACGTacgt"`)
+    alt_bad = ~np.isin(alt_a, list("ACGTacgt") + [""])
+    raise_char = bad_char
+    raise_alt = ~bad_char & ~has_n & alt_bad
+    any_raise = raise_char | raise_alt
+    if any_raise.any():
+        first = int(np.flatnonzero(any_raise)[0])
+        if raise_char[first]:
             raise ValueError("invalid character in k-mer (reference aborts)")
-        if (left > 3).any():
-            continue  # left k-mer contains N (cc:238-239)
-        if alt_nt in ("N", "n"):
-            continue  # i=0 next_base is N: break before any insertion
-        if alt_nt not in "ACGTacgt":
-            raise ValueError(
-                f"ALT {alt_nt!r} would abort shift_kmer in the reference")
-        kmer = np.uint64(0)
-        c = left.astype(np.uint64)
-        for j in range(32):
-            kmer |= (c[j] & np.uint64(3)) << np.uint64(2 * j)
-        bf.set_bits(snp_bf_bit_from_left_kmer(
-            np.asarray([kmer], np.uint64), snp_bits))
+        raise ValueError(
+            f"ALT {alt_a[first]!r} would abort shift_kmer in the reference")
+    ins = ~has_n & ~alt_n
+    if ins.any():
+        bf.set_hashes_mod(np_hash40(kmer_a[ins] & _LO40_MASK))
     return bf

@@ -107,8 +107,13 @@ def build_ref_dict(seqs: List[Seq], aux_cols: int = AUX_TABLE_COLS_DEF
         codes = s.codes_normalized()
         n = s.size
         if n >= 32:
-            roll = np_rolling_kmers_u64(codes)
-            ok = ~np_window_has_n(codes)
+            from .. import native
+
+            if codes.size > 4096 and native.available():
+                roll, ok = native.rolling_kmers(codes)
+            else:
+                roll = np_rolling_kmers_u64(codes)
+                ok = ~np_window_has_n(codes)
             pos = (np.arange(roll.shape[0], dtype=np.uint64) +
                    np.uint64(index)).astype(np.uint32)
             all_kmers.append(roll[ok])
@@ -128,6 +133,17 @@ def build_ref_dict(seqs: List[Seq], aux_cols: int = AUX_TABLE_COLS_DEF
     aux = _aux_rows(first, counts, has_aux, pos, aux_cols, np.uint32)
     max_pos = int(pos.max()) if pos.size else 0
     return RefDict(kmers=uniq, pos=out_pos, flag=flag, aux=aux), max_pos
+
+
+def _rolling_kmers_of(codes: np.ndarray) -> np.ndarray:
+    """All 32-window rolling k-mers of a code array (no validity filter;
+    callers only read windows they have proven N-free)."""
+    from .. import native
+
+    if codes.size > 4096 and native.available():
+        roll, _ = native.rolling_kmers(codes)
+        return roll
+    return np_rolling_kmers_u64(codes)
 
 
 def _find_seq_by_name(seqs: List[Seq], name: str):
@@ -175,11 +191,6 @@ def build_snp_dict_from_vcf(
             normalized[id(s)] = r
         return r
 
-    kmer_rows = []
-    pos_rows = []
-    snp_rows = []
-    rf_rows = []
-    af_rows = []
     snp_locs: List[int] = []
 
     ref_has_chr = bool(seqs) and seqs[0].name.startswith("c")
@@ -188,7 +199,20 @@ def build_snp_dict_from_vcf(
     chrom_start = 1
     base_code = {"A": 0, "C": 1, "G": 2, "T": 3, "N": 4}
 
-    shifts = np.arange(32, dtype=np.uint64) * np.uint64(2)
+    # Candidate rows passing every scalar filter; the N-window checks and
+    # the 32 covering alt-substituted k-mers (src/dictgen.c:753-772) are
+    # evaluated AFTER the scan, vectorized per chromosome over the
+    # chromosome's rolling-kmer array -- the per-row 32-step build was the
+    # build's hot loop at dbSNP scale. Row order is preserved exactly
+    # (results land at each candidate's scan position), which the stable
+    # kmer sort below depends on for aux-position generation order.
+    c_seq: List[Seq] = []
+    c_start: List[int] = []
+    c_index: List[int] = []
+    c_ref: List[int] = []
+    c_alt: List[int] = []
+    c_rf: List[int] = []
+    c_af: List[int] = []
 
     for row in iter_vcf_rows(vcf_path):
         chrom_name = row.chrom
@@ -212,7 +236,7 @@ def build_snp_dict_from_vcf(
         codes = norm_codes(chrom)
         # genome base (normalized to ACGTN) must equal the REF base; any
         # mismatch aborts the whole build (src/dictgen.c:666-672)
-        if index >= chrom.size or int(codes[index]) != ref_u:
+        if index >= chrom.size or codes[index] != ref_u:
             raise VcfRefMismatch(
                 f"Mismatch between reference and SNP file at 0-based "
                 f"index {index} in {chrom.name}")
@@ -228,41 +252,64 @@ def build_snp_dict_from_vcf(
         snp_locs.append(chrom_start + index)
 
         f1, f2 = caf.extract(row.info)
-        rf_enc = encode_freq(f1)
-        af_enc = encode_freq(f2)
 
         if alt_ch == ref_ch:
             continue
 
-        window = codes[index - 32 : index + 32].copy()
-        if (window[:32] > 3).any():
-            continue  # left flank k-mer had N (755-758)
-        window[32] = base_code[alt_ch]
-        if (window[32:] > 3).any():
-            continue  # any N inside the covering window aborts the row
-        # 32 covering k-mers: windows starting at offsets 1..32
-        w = window.astype(np.uint64)
-        kk = np.zeros(32, dtype=np.uint64)
-        for j in range(32):
-            kk |= (w[1 + j : 33 + j] & np.uint64(3)) << shifts[j]
-        i_arr = np.arange(32, dtype=np.uint32)
-        kmer_rows.append(kk)
-        pos_rows.append(np.uint32(chrom_start + index - 32 + 1) + i_arr)
-        snp_rows.append(((np.uint32(31) - i_arr) << np.uint32(3) |
-                         np.uint32(ref_u)).astype(np.uint8))
-        rf_rows.append(np.full(32, rf_enc, np.uint8))
-        af_rows.append(np.full(32, af_enc, np.uint8))
+        c_seq.append(chrom)
+        c_start.append(chrom_start)
+        c_index.append(index)
+        c_ref.append(ref_u)
+        c_alt.append(base_code[alt_ch])
+        c_rf.append(encode_freq(f1))
+        c_af.append(encode_freq(f2))
 
-    if kmer_rows:
-        kmers = np.concatenate(kmer_rows)
-        pos = np.concatenate(pos_rows)
-        snp = np.concatenate(snp_rows)
-        rf = np.concatenate(rf_rows)
-        af = np.concatenate(af_rows)
-    else:
-        kmers = np.zeros(0, np.uint64)
-        pos = np.zeros(0, np.uint32)
-        snp = rf = af = np.zeros(0, np.uint8)
+    n_cand = len(c_index)
+    idx_a = np.asarray(c_index, np.int64) if n_cand else np.zeros(0, np.int64)
+    start_a = np.asarray(c_start, np.int64) if n_cand \
+        else np.zeros(0, np.int64)
+    ref_a = np.asarray(c_ref, np.uint8) if n_cand else np.zeros(0, np.uint8)
+    alt_a = np.asarray(c_alt, np.uint64) if n_cand \
+        else np.zeros(0, np.uint64)
+    rf_a = np.asarray(c_rf, np.uint8) if n_cand else np.zeros(0, np.uint8)
+    af_a = np.asarray(c_af, np.uint8) if n_cand else np.zeros(0, np.uint8)
+
+    keep = np.zeros(n_cand, bool)
+    kk_all = np.zeros((n_cand, 32), np.uint64)
+    seq_ids = {}
+    for i, s in enumerate(c_seq):
+        seq_ids.setdefault(id(s), (s, []))[1].append(i)
+    jj = np.arange(32, dtype=np.int64)
+    off_bits = (np.uint64(2) * (np.uint64(31) - jj.astype(np.uint64)))
+    clear_mask = ~(np.uint64(3) << off_bits)           # (32,)
+    for s, rows_l in seq_ids.values():
+        rows_a = np.asarray(rows_l, np.int64)
+        codes = norm_codes(s)
+        badN = np.zeros(codes.shape[0] + 1, np.int64)
+        np.cumsum(codes > 3, out=badN[1:])
+        ii = idx_a[rows_a]
+        left_ok = (badN[ii] - badN[ii - 32]) == 0      # window[:32] N-free
+        right_ok = (badN[ii + 32] - badN[ii + 1]) == 0  # rest, excl. the SNP
+        ok = left_ok & right_ok
+        keep[rows_a] = ok
+        rows_ok = rows_a[ok]
+        if rows_ok.size == 0:
+            continue
+        roll = _rolling_kmers_of(codes)
+        s_j = idx_a[rows_ok, None] - 31 + jj[None, :]   # (r, 32) window starts
+        kk_all[rows_ok] = ((roll[s_j] & clear_mask[None, :])
+                           | (alt_a[rows_ok, None] << off_bits[None, :]))
+
+    rows_keep = np.flatnonzero(keep)
+    kmers = kk_all[rows_keep].reshape(-1)
+    i_arr = np.arange(32, dtype=np.uint32)
+    pos = ((start_a[rows_keep, None] + idx_a[rows_keep, None] - 31
+            + i_arr[None, :]).astype(np.uint32).reshape(-1))
+    snp = (((np.uint32(31) - i_arr[None, :]) << np.uint32(3)
+            | ref_a[rows_keep, None].astype(np.uint32))
+           .astype(np.uint8).reshape(-1))
+    rf = np.repeat(rf_a[rows_keep], 32)
+    af = np.repeat(af_a[rows_keep], 32)
 
     order = np.argsort(kmers, kind="stable")
     kmers, pos, snp, rf, af = (a[order] for a in (kmers, pos, snp, rf, af))

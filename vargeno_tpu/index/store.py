@@ -87,7 +87,10 @@ def derive_sites(snp: SnpDict) -> SnpSites:
 def save_npz(prefix: str, index: VarGenoIndex) -> None:
     names = np.array([n for n, _ in index.chrlens])
     lens = np.array([l for _, l in index.chrlens], np.uint64)
-    np.savez_compressed(
+    # uncompressed: the Bloom words are high-entropy (zlib wins little) and
+    # geno startup reads this file every run -- decompression cost (~25 s at
+    # chr22 scale) dwarfs the disk-size win. np.load reads either form.
+    np.savez(
         prefix + ".vgt.npz",
         ref_kmers=index.ref.kmers, ref_pos=index.ref.pos,
         ref_flag=index.ref.flag, ref_aux=index.ref.aux,

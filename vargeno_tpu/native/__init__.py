@@ -68,6 +68,11 @@ def _load():
             ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.vgt_bf_mod_set.restype = None
+        lib.vgt_bf_mod_set.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.c_uint64]
         lib.vgt_ht_build.restype = ctypes.c_int64
         lib.vgt_ht_build.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
@@ -109,6 +114,17 @@ def fastq_batches(path: str, batch: int, L: int, K: int):
             n_kmers[got:] = 0
             qual[got:] = 0
         yield codes, n_kmers, qual, int(got)
+
+
+def bf_mod_set(words: np.ndarray, hashes: np.ndarray, mod: int) -> None:
+    """words[(h % mod) >> 6] |= bit for every 64-bit hash value."""
+    lib = _load()
+    assert lib is not None
+    hashes = np.ascontiguousarray(hashes, np.uint64)
+    lib.vgt_bf_mod_set(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        hashes.shape[0], mod)
 
 
 def ht_build(hi, lo, pos, flag, info, nb: int, slots: int):

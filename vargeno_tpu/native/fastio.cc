@@ -135,6 +135,17 @@ void vgt_bf_test_bits(const uint64_t* words, const uint64_t* bit_idx,
   }
 }
 
+// Reduce precomputed 64-bit hash values modulo the filter size and set the
+// bits, in one pass (numpy's u64 modulo is a scalar fallback; this is the
+// index build's hot loop at whole-genome scale).
+void vgt_bf_mod_set(uint64_t* words, const uint64_t* hashes, int64_t n,
+                    uint64_t mod) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t b = hashes[i] % mod;
+    words[b >> 6] |= (uint64_t)1 << (b & 63);
+  }
+}
+
 // Bucketized hash-table build (layout of engine/hashtable.py): sequential
 // insertion with linear probing over `slots`-wide buckets; one contiguous
 // (nb, slots*4) uint32 row per bucket. Returns the lookup chain bound

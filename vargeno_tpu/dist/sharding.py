@@ -103,6 +103,10 @@ class ShardedGenoRunner:
     def global_batch(self) -> int:
         return self.D * self.config.batch_reads
 
+    def _bump(self, stats):
+        for k, v in stats.items():
+            self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
+
     def consume_fastq(self, fastq_path: str,
                       limit_batches: Optional[int] = None) -> None:
         from ..io.fastq import iter_read_batches
@@ -110,6 +114,7 @@ class ShardedGenoRunner:
         cfg = self.config
         nb = 0
         shard = self._shardings["codes"]
+        pending = None   # one-behind stats sync keeps the host feeding
         for batch in iter_read_batches(fastq_path, self.global_batch(),
                                        cfg.max_read_len,
                                        cfg.max_kmers_per_read):
@@ -119,11 +124,14 @@ class ShardedGenoRunner:
             self.ref_cnt_d, self.alt_cnt_d, stats = self._step(
                 self.dix, codes, nk, qual, self.ref_cnt_d, self.alt_cnt_d)
             self.n_reads += batch.n_valid
-            for k, v in stats.items():
-                self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
+            if pending is not None:
+                self._bump(pending)
+            pending = stats
             nb += 1
             if limit_batches and nb >= limit_batches:
                 break
+        if pending is not None:
+            self._bump(pending)
 
     def calls(self):
         from ..finalize import finalize_calls

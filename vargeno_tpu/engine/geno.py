@@ -107,40 +107,56 @@ class GenoRunner:
     def _merge(trc, tac, rc, ac):
         return _merge_counts(trc, tac, rc, ac)
 
-    def _run_batch(self, codes, nk, qual, single: bool):
-        """Run one batch into fresh accumulators, escalating any tripped
-        capacity (auto_retry_max rounds), then merge into the totals.
-        Re-running the same batch with larger caps is deterministic, so the
-        merged counts match a reference run exactly even when the first
-        attempt truncated."""
+    def _dispatch_batch(self, codes, nk, qual, single: bool) -> dict:
+        """Dispatch one batch into FRESH accumulators; returns the in-flight
+        handle (device futures, nothing synced). Merging into the totals and
+        the overflow check happen in _finalize_batch -- callers keep one
+        batch in flight so the host prepares batch i+1 while the device
+        runs batch i."""
         codes = jnp.asarray(codes)
         nk = jnp.asarray(nk)
         qual = jnp.asarray(qual)
         n = self.dix.n_sites
-        rounds = 0
-        process = read_ok = None
+        proc = self._proc(self._cfg_run)
+        self.step = proc
+        z = jnp.zeros(n + 1, jnp.int32)
+        z2 = jnp.zeros(n + 1, jnp.int32)
+        if single:
+            rc, ac, process, read_ok, stats = proc.single(
+                codes, nk, qual, z, z2)
+        else:
+            rc, ac, stats = proc(codes, nk, qual, z, z2)
+            process = read_ok = None
+        return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
+                    stats=stats, args=(codes, nk, qual), single=single,
+                    rounds=0)
+
+    def _finalize_batch(self, p: dict):
+        """Sync p's overflow counters; if any capacity tripped, escalate and
+        re-run the batch (deterministic, so the merged counts match a
+        reference run exactly even when the first attempt truncated); then
+        merge its counts into the totals. Returns (process, read_ok)."""
         while True:
-            proc = self._proc(self._cfg_run)
-            self.step = proc
-            z = jnp.zeros(n + 1, jnp.int32)
-            z2 = jnp.zeros(n + 1, jnp.int32)
-            if single:
-                rc, ac, process, read_ok, stats = proc.single(
-                    codes, nk, qual, z, z2)
-            else:
-                rc, ac, stats = proc(codes, nk, qual, z, z2)
-            tripped = [k for k, v in stats.items()
+            tripped = [k for k, v in p["stats"].items()
                        if "overflow" in k and int(v)]
-            if not tripped or rounds >= self.config.auto_retry_max:
+            if not tripped or p["rounds"] >= self.config.auto_retry_max:
                 break
             new_cfg = _escalate_config(self._cfg_run, tripped)
             if new_cfg == self._cfg_run:
                 break
             self._cfg_run = new_cfg
-            rounds += 1
+            rounds = p["rounds"] + 1
+            p = self._dispatch_batch(*p["args"], p["single"])
+            p["rounds"] = rounds
         self.ref_cnt, self.alt_cnt = self._merge(
-            self.ref_cnt, self.alt_cnt, rc, ac)
-        return process, read_ok, stats
+            self.ref_cnt, self.alt_cnt, p["rc"], p["ac"])
+        self._bump(p["stats"])
+        return p["process"], p["read_ok"]
+
+    def _run_batch(self, codes, nk, qual, single: bool):
+        """Dispatch + finalize in one (unpipelined) call."""
+        p = self._dispatch_batch(codes, nk, qual, single)
+        return self._finalize_batch(p)
 
     def consume_fastq(self, fastq_path: str,
                       limit_batches: Optional[int] = None,
@@ -164,24 +180,29 @@ class GenoRunner:
                                             checkpoint_path,
                                             checkpoint_every)
         else:
+            pending = None
             for batch in iter_read_batches(fastq_path, cfg.batch_reads,
                                            cfg.max_read_len,
                                            cfg.max_kmers_per_read,
                                            skip_reads=skip):
-                _, _, stats = self._run_batch(
-                    batch.codes, batch.n_kmers, batch.qual, single=False)
+                cur = self._dispatch_batch(batch.codes, batch.n_kmers,
+                                           batch.qual, single=False)
                 self.n_reads += batch.n_valid
-                for k, v in stats.items():
-                    self.stats_totals[k] = self.stats_totals.get(k, 0) \
-                        + int(v)
+                if pending is not None:
+                    self._finalize_batch(pending)
+                pending = cur
                 nb += 1
                 if checkpoint_path and nb % checkpoint_every == 0:
+                    self._finalize_batch(pending)
+                    pending = None
                     from . import checkpoint as ckpt
 
                     ckpt.save(checkpoint_path, self.ref_cnt, self.alt_cnt,
                               self.n_reads)
                 if limit_batches and nb >= limit_batches:
                     break
+            if pending is not None:
+                self._finalize_batch(pending)
         if checkpoint_path:
             from . import checkpoint as ckpt
 
@@ -200,6 +221,8 @@ class GenoRunner:
 
     def _consume_queued(self, fastq_path, skip, limit_batches,
                         checkpoint_path, checkpoint_every):
+        from collections import deque
+
         cfg = self.config
         B = cfg.batch_reads
         pend_codes = []
@@ -207,18 +230,29 @@ class GenoRunner:
         pend_qual = []
         pend_n = 0
         nb = 0
+        inflight: deque = deque()   # one-deep dispatch pipeline
 
-        def run_one(codes, nk, qual, count_reads):
-            """Dispatch one batch; returns device futures (async) so the
-            host can overlap queue bookkeeping with device compute."""
-            nonlocal nb, pend_n
-            process, read_ok, stats = self._run_batch(
-                codes, nk, qual, single=True)
+        def dispatch(codes, nk, qual, count_reads, host):
+            """host = (codes, nk, qual, n_valid) for forward batches whose
+            failures must be re-queued reverse-complemented; None for the
+            retry batches themselves (the reference tries exactly two
+            orientations, qv.cc:1504-1510)."""
+            nonlocal nb
+            p = self._dispatch_batch(codes, nk, qual, single=True)
+            p["count"] = count_reads
+            p["host"] = host
             self.n_reads += count_reads
-            self._bump(stats)
-            self.meter.bump(count_reads)
             nb += 1
-            return process, read_ok
+            inflight.append(p)
+
+        def pump(force=False):
+            while inflight and (force or len(inflight) > 1):
+                p = inflight.popleft()
+                process, read_ok = self._finalize_batch(p)
+                self.meter.bump(p["count"])
+                if p["host"] is not None:
+                    enqueue_failures(*p["host"], np.asarray(process),
+                                     np.asarray(read_ok))
 
         def enqueue_failures(codes, nk, qual, n_valid, process, read_ok):
             nonlocal pend_n
@@ -260,45 +294,39 @@ class GenoRunner:
                     take_q = np.concatenate(
                         [take_q, np.zeros((pad, take_q.shape[1]),
                                           np.uint8)])
-                run_one(take, take_k, take_q, 0)
+                # reset the queue BEFORE pump(): finalizing an in-flight
+                # forward batch during pump() may append new retries
                 pend_codes = [rest_c] if rest_c.size else []
                 pend_nk = [rest_k] if rest_k.size else []
                 pend_qual = [rest_q] if rest_q.size else []
                 pend_n = rest_k.shape[0]
+                dispatch(take, take_k, take_q, 0, None)
+                pump()
 
-        prev = None  # (batch, process_future, read_ok_future)
+        def drain():
+            # finalize everything in flight, then run the retry queue to
+            # empty (finalizing a retry batch never enqueues more work)
+            pump(force=True)
+            flush_pending(force=True)
+            pump(force=True)
+
         for batch in iter_read_batches(fastq_path, B, cfg.max_read_len,
                                        cfg.max_kmers_per_read,
                                        skip_reads=skip):
-            fut = run_one(batch.codes, batch.n_kmers, batch.qual,
-                          batch.n_valid)
-            if prev is not None:
-                pbatch, pp, pok = prev
-                enqueue_failures(pbatch.codes, pbatch.n_kmers, pbatch.qual,
-                                 pbatch.n_valid, np.asarray(pp),
-                                 np.asarray(pok))
-                flush_pending()
-            prev = (batch, *fut)
+            dispatch(batch.codes, batch.n_kmers, batch.qual, batch.n_valid,
+                     (batch.codes, batch.n_kmers, batch.qual,
+                      batch.n_valid))
+            pump()
+            flush_pending()
             if checkpoint_path and nb % checkpoint_every == 0:
-                if prev is not None:
-                    pbatch, pp, pok = prev
-                    enqueue_failures(pbatch.codes, pbatch.n_kmers,
-                                     pbatch.qual, pbatch.n_valid,
-                                     np.asarray(pp), np.asarray(pok))
-                    prev = None
-                flush_pending(force=True)
+                drain()
                 from . import checkpoint as ckpt
 
                 ckpt.save(checkpoint_path, self.ref_cnt, self.alt_cnt,
                           self.n_reads)
             if limit_batches and nb >= limit_batches:
                 break
-        if prev is not None:
-            pbatch, pp, pok = prev
-            enqueue_failures(pbatch.codes, pbatch.n_kmers, pbatch.qual,
-                             pbatch.n_valid, np.asarray(pp),
-                             np.asarray(pok))
-        flush_pending(force=True)
+        drain()
         return nb
 
     def calls(self):

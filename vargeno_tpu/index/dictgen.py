@@ -33,6 +33,18 @@ from ..io.fasta import Seq
 from ..io.vcf import CafExtractor, encode_freq, iter_vcf_rows
 
 
+def _stable_argsort_u64(kmers: np.ndarray) -> np.ndarray:
+    """Stable key sort: threaded native LSD radix when available (the
+    reference's qsort, dictgen.c:53-61, is the index build's dominant cost
+    at genome scale), numpy otherwise."""
+    if kmers.shape[0] >= (1 << 16) and kmers.shape[0] < (1 << 32):
+        from .. import native
+
+        if native.available():
+            return native.radix_argsort(kmers)
+    return np.argsort(kmers, kind="stable")
+
+
 @dataclasses.dataclass
 class RefDict:
     """The reference k-mer dictionary (mirrors prefix.ref.dict)."""
@@ -122,7 +134,7 @@ def build_ref_dict(seqs: List[Seq], aux_cols: int = AUX_TABLE_COLS_DEF
     kmers = np.concatenate(all_kmers) if all_kmers else np.zeros(0, np.uint64)
     pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.uint32)
 
-    order = np.argsort(kmers, kind="stable")
+    order = _stable_argsort_u64(kmers)
     kmers = kmers[order]
     pos = pos[order]
 
@@ -311,7 +323,7 @@ def build_snp_dict_from_vcf(
     rf = np.repeat(rf_a[rows_keep], 32)
     af = np.repeat(af_a[rows_keep], 32)
 
-    order = np.argsort(kmers, kind="stable")
+    order = _stable_argsort_u64(kmers)
     kmers, pos, snp, rf, af = (a[order] for a in (kmers, pos, snp, rf, af))
 
     uniq, first, counts, pos_or_aux, flag, has_aux = _group_ambiguity(

@@ -24,7 +24,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
              "-o", _SO, _SRC],
             check=True, capture_output=True)
         return True
@@ -73,6 +73,10 @@ def _load():
             ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
             ctypes.c_uint64]
+        lib.vgt_radix_argsort_u64.restype = ctypes.c_int64
+        lib.vgt_radix_argsort_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32)]
         lib.vgt_ht_build.restype = ctypes.c_int64
         lib.vgt_ht_build.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
@@ -153,6 +157,24 @@ def ht_build(hi, lo, pos, flag, info, nb: int, slots: int):
         info_p, n, nb, slots,
         table.ctypes.data_as(u32p), cap.ctypes.data_as(u8p))
     return table, int(chain)
+
+
+def radix_argsort(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort of uint64 keys (threaded LSD radix, u32 indices).
+
+    Same ordering contract as np.argsort(kind='stable'); callers fall back
+    to numpy when the native library is unavailable or n >= 2^32."""
+    lib = _load()
+    assert lib is not None
+    keys = np.ascontiguousarray(keys, np.uint64)
+    n = keys.shape[0]
+    idx = np.empty(n, np.uint32)
+    rc = lib.vgt_radix_argsort_u64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if rc != 0:
+        return np.argsort(keys, kind="stable")
+    return idx
 
 
 def bf_set_bits(words: np.ndarray, bit_idx: np.ndarray) -> None:

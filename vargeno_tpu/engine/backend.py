@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import search
+from .scan_ops import cumsum_mask
 from .device_index import DeviceIndex
 
 U32 = jnp.uint32
@@ -97,7 +98,7 @@ class LocalBackend:
         N = qh.shape[0]
         NS = max(64, min(N, int(N * self.sparse_frac)))
         maybe = v & prefilter_test(pf, pf_bits, qh, ql)
-        tgt = jnp.cumsum(maybe.astype(I32)) - 1
+        tgt = cumsum_mask(maybe) - 1
         keep = maybe & (tgt < NS)
         ovf = jnp.sum(maybe) - jnp.sum(keep)
         if self.sparse_overflow is None:

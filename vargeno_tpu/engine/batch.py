@@ -37,6 +37,7 @@ from ..config import GenoConfig, NO_MODIFICATION, POS_AMBIGUOUS
 from ..core import hashes
 from . import search
 from .backend import LocalBackend
+from .scan_ops import cumsum_mask
 from .device_index import DeviceIndex
 
 U32 = jnp.uint32
@@ -269,7 +270,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # flat order (b, k, dict) -- target slots are precomputed, so
         # compaction order never affects event order
         am_mask = jnp.stack([r_am_v, s_am_v], axis=-1).reshape(-1)
-        am_tgt = jnp.cumsum(am_mask.astype(I32)) - 1
+        am_tgt = cumsum_mask(am_mask) - 1
         am_keep = am_mask & (am_tgt < NA)
         amb_overflow = jnp.sum(am_mask) - jnp.sum(am_keep)
         am_srcidx = jnp.arange(B * K * 2, dtype=I32)
@@ -302,7 +303,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # ---- neighbor work-item compaction ----
         lowq = kmer_valid & (qual < jnp.uint8(cfg.quality_score))
         flat_mask = lowq.reshape(-1)
-        tgt = jnp.cumsum(flat_mask.astype(I32)) - 1
+        tgt = cumsum_mask(flat_mask) - 1
         keep = flat_mask & (tgt < NI)
         ni_overflow = jnp.sum(flat_mask) - jnp.sum(keep)
         src = jnp.arange(B * K, dtype=I32)
@@ -324,7 +325,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # scatters all run on ~real-hit-count lanes
         NH = max(64, 4 * NI)
         ph_flat = p_hit.reshape(-1)                  # item-major order
-        ph_tgt = jnp.cumsum(ph_flat.astype(I32)) - 1
+        ph_tgt = cumsum_mask(ph_flat) - 1
         ph_keep = ph_flat & (ph_tgt < NH)
         ph_overflow = jnp.sum(ph_flat) - jnp.sum(ph_keep)
         ph_src = jnp.full(NH, -1, I32).at[
@@ -410,8 +411,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         # neighbor events: (NH, 10); order within an item = (probe, col);
         # within-item base = global exclusive cumsum minus the item's start
-        C_ex = jnp.cumsum(nb_cnt) - nb_cnt                    # (NH,)
-        item_base = jnp.cumsum(nb_n_item) - nb_n_item          # (NI,)
+        C_ex = cumsum_mask(nb_cnt) - nb_cnt                    # (NH,)
+        item_base = cumsum_mask(nb_n_item) - nb_n_item          # (NI,)
         within = C_ex - item_base[h_item]
         nb_g = goff[h_b, 3 * h_k + 2]
         col_rank = jnp.cumsum(nb_valid, axis=-1) - 1
@@ -554,7 +555,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         agree = (buf["valid"] & use_mask[:, None]
                  & (buf["idx"] == target[:, None])).reshape(-1)
-        ftgt = jnp.cumsum(agree.astype(I32)) - 1
+        ftgt = cumsum_mask(agree) - 1
         keep = agree & (ftgt < FA)
         agree_ovf = jnp.sum(agree) - jnp.sum(keep)
         src_idx = jnp.full(FA, -1, I32).at[
@@ -601,7 +602,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # small fraction of FA*32 lanes), then one gather + scatter-add
         FG = FA // 2
         fh = is_site.reshape(-1)
-        gt = jnp.cumsum(fh.astype(I32)) - 1
+        gt = cumsum_mask(fh) - 1
         gk = fh & (gt < FG)
         site_ovf = jnp.sum(fh) - jnp.sum(gk)
         gs = jnp.full(FG, -1, I32).at[

@@ -92,14 +92,15 @@ def partition_index(index: VarGenoIndex, D: int):
     """Host plan. Returns (base DeviceIndex [for replicated fields], stacked
     per-shard arrays dict, plan, owned/total row counts)."""
     base = build_device_index(index)
-    ref_hi = np.asarray(base.ref_hi)
-    snp_hi = np.asarray(base.snp_hi)
+    # trim the 32-row alignment padding: shards partition true rows only
+    ref_hi = np.asarray(base.ref_hi)[:base.n_ref_rows]
+    snp_hi = np.asarray(base.snp_hi)[:base.n_snp_rows]
     ref_rows, ref_firsts = _snap_boundaries(ref_hi, D)
     snp_rows, snp_firsts24 = _snap_boundaries(snp_hi >> 8, D)
 
-    def shard_stack(arr, rows, tail, key_fill=None):
+    def shard_stack(arr, rows, tail, key_fill=None, true_n=None):
         arr = np.asarray(arr)
-        n = arr.shape[0]
+        n = arr.shape[0] if true_n is None else true_n
         sizes = [min(rows[d + 1] + tail, n) - rows[d] for d in range(D)]
         m = max(max(sizes), 1)
         fill = key_fill if key_fill is not None else 0
@@ -110,24 +111,25 @@ def partition_index(index: VarGenoIndex, D: int):
         return out, np.asarray(sizes, np.int32)
 
     stacked = {}
+    nr, ns = base.n_ref_rows, base.n_snp_rows
     stacked["ref_hi"], ref_tot = shard_stack(base.ref_hi, ref_rows,
-                                             REF_TAIL, 0xFFFFFFFF)
+                                             REF_TAIL, 0xFFFFFFFF, nr)
     stacked["ref_lo"], _ = shard_stack(base.ref_lo, ref_rows, REF_TAIL,
-                                       0xFFFFFFFF)
+                                       0xFFFFFFFF, nr)
     stacked["ref_pos"], _ = shard_stack(base.ref_pos, ref_rows, REF_TAIL,
-                                        0xFFFFFFFF)
+                                        0xFFFFFFFF, nr)
     stacked["ref_flag"], _ = shard_stack(base.ref_flag, ref_rows, REF_TAIL,
-                                         1)
+                                         1, nr)
     stacked["snp_hi"], snp_tot = shard_stack(base.snp_hi, snp_rows,
-                                             SNP_TAIL, 0xFFFFFFFF)
+                                             SNP_TAIL, 0xFFFFFFFF, ns)
     stacked["snp_lo"], _ = shard_stack(base.snp_lo, snp_rows, SNP_TAIL,
-                                       0xFFFFFFFF)
+                                       0xFFFFFFFF, ns)
     stacked["snp_pos"], _ = shard_stack(base.snp_pos, snp_rows, SNP_TAIL,
-                                        0xFFFFFFFF)
+                                        0xFFFFFFFF, ns)
     stacked["snp_info"], _ = shard_stack(base.snp_info, snp_rows, SNP_TAIL,
-                                         0)
+                                         0, ns)
     stacked["snp_flag"], _ = shard_stack(base.snp_flag, snp_rows, SNP_TAIL,
-                                         1)
+                                         1, ns)
 
     plan = ShardPlan(ref_bounds_hi=jnp.asarray(ref_firsts),
                      snp_bounds_hi24=jnp.asarray(snp_firsts24))
@@ -434,13 +436,15 @@ class ShardedDictGenoRunner:
             site_ra=jax.device_put(base.site_ra, rsh),
             ref_ht=jax.device_put(dummy_ht, rsh),
             snp_ht=jax.device_put(dummy_ht, rsh),
-            ref_bd=jax.device_put(dummy_ht, rsh),
-            snp_bd=jax.device_put(dummy_ht, rsh),
+            ref_jg=jax.device_put(dummy_ht.reshape(-1)[:2], rsh),
+            snp_jg=jax.device_put(dummy_ht.reshape(-1)[:2], rsh),
             ref_pf=jax.device_put(dummy_ht.reshape(-1), rsh),
             snp_pf=jax.device_put(dummy_ht.reshape(-1), rsh),
             snp_bf_bits=base.snp_bf_bits, ref_bf_bits=base.ref_bf_bits,
             ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1, snp_ht_chain=1,
-            ref_bd_nb=1, ref_bd_chain=1, snp_bd_nb=1, snp_bd_chain=1,
+            ref_win_rows=1,
+            n_ref_rows=stacked["ref_hi"].shape[1],
+            n_snp_rows=stacked["snp_hi"].shape[1],
             ref_pf_bits=1024, snp_pf_bits=1024,
         )
         arg_host = ShardedIndexArg(
@@ -505,13 +509,15 @@ class ShardedDictGenoRunner:
                     site_pos=none, site_ref=none, site_alt=none,
                     site_bitmap=none, site_rank=none, site_dir=none,
                     site_ra=none, ref_ht=none, snp_ht=none,
-                    ref_bd=none, snp_bd=none, ref_pf=none, snp_pf=none,
+                    ref_jg=none, snp_jg=none, ref_pf=none, snp_pf=none,
                     snp_bf_bits=base.snp_bf_bits,
                     ref_bf_bits=base.ref_bf_bits,
                     ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1,
                     snp_ht_chain=1,
-                    ref_bd_nb=1, ref_bd_chain=1, snp_bd_nb=1,
-                    snp_bd_chain=1, ref_pf_bits=1024, snp_pf_bits=1024),
+                    ref_win_rows=1,
+                    n_ref_rows=self.arg.dix.n_ref_rows,
+                    n_snp_rows=self.arg.dix.n_snp_rows,
+                    ref_pf_bits=1024, snp_pf_bits=1024),
                 plan=ShardPlan(ref_bounds_hi=none, snp_bounds_hi24=none),
                 my_ref_owned=P(axis), my_snp_owned=P(axis),
                 my_ref_total=P(axis), my_snp_total=P(axis))

@@ -138,26 +138,40 @@ class LocalBackend:
         return hit, pos, info, flag
 
     def _ref_block_bounds(self, q_hi):
-        """(start_row, size) of the hi32 jumpgate block -- one directory
-        bucket gather instead of two binary searches."""
-        from .hashtable import ht_lookup
-
+        """(start_row, size) of the hi32 jumpgate block (the reference's
+        2^32 jumpgate, qv.cc:528-584).  The hi24 jumpgate narrows to the
+        [a, b) hi24 block; one static-width aligned window gather over
+        ref_hi (reshaped (n/32, 32) for free -- rows padded to a 32
+        multiple at build) then resolves the exact hi32 sub-block with
+        vector compares: same HBM bytes as one bucket probe, no 4.3 GB
+        block-directory table."""
         d = self.dix
-        hit, start, flag, info = ht_lookup(
-            d.ref_bd, d.ref_bd_nb, d.ref_bd_chain, q_hi,
-            jnp.zeros_like(q_hi))
-        size = jnp.where(hit, flag.astype(I32) | (info.astype(I32) << 8), 0)
-        return start.astype(I32), size
+        h24 = (q_hi >> U32(8)).astype(I32)
+        a = d.ref_jg[h24].astype(I32)
+        b = d.ref_jg[h24 + 1].astype(I32)
+        g = d.ref_win_rows
+        hi2d = d.ref_hi.reshape(-1, 32)
+        r0 = jnp.minimum(a >> 5, hi2d.shape[0] - 1)
+        rows = jnp.take(hi2d, jnp.minimum(
+            r0[:, None] + jnp.arange(g, dtype=I32)[None, :],
+            hi2d.shape[0] - 1), axis=0)            # (NI, g, 32)
+        win = rows.reshape(q_hi.shape[0], g * 32)
+        gidx = (r0 * 32)[:, None] + jnp.arange(g * 32, dtype=I32)[None, :]
+        eq = (gidx >= a[:, None]) & (gidx < b[:, None]) \
+            & (win == q_hi[:, None])
+        size = jnp.sum(eq, axis=1, dtype=I32)
+        first = jnp.argmax(eq, axis=1).astype(I32)
+        start = jnp.where(size > 0, r0 * 32 + first, 0)
+        return start, size
 
     def _snp_block_bounds(self, q_hi24):
-        from .hashtable import ht_lookup
-
+        """snp blocks ARE hi24 blocks (reference 2^24 jumpgate,
+        qv.cc:615-678): two 4-byte jumpgate gathers give exact bounds."""
         d = self.dix
-        hit, start, flag, info = ht_lookup(
-            d.snp_bd, d.snp_bd_nb, d.snp_bd_chain, q_hi24,
-            jnp.zeros_like(q_hi24))
-        size = jnp.where(hit, flag.astype(I32) | (info.astype(I32) << 8), 0)
-        return start.astype(I32), size
+        h = q_hi24.astype(I32)
+        a = d.snp_jg[h].astype(I32)
+        b = d.snp_jg[h + 1].astype(I32)
+        return a, b - a
 
     def ref_block_size(self, q_hi):
         _, size = self._ref_block_bounds(q_hi)
@@ -166,10 +180,11 @@ class LocalBackend:
     # stride-bug read limits: index beyond this reads as 0 (fresh-mmap heap
     # model); sharded subclasses override with the true unsharded extent
     def _ref_limit(self):
-        return self.dix.ref_hi.shape[0]
+        # true (pre-padding) extent; pad rows read as zero either way
+        return self.dix.n_ref_rows
 
     def _snp_limit(self):
-        return self.dix.snp_hi.shape[0]
+        return self.dix.n_snp_rows
 
     # --- block Hamming scans ---
 

@@ -63,11 +63,16 @@ class DeviceIndex:
     # sparse probe sets test one bit before paying the bucket-chain gathers
     ref_pf: jax.Array      # (pf_bits/32,) u32
     snp_pf: jax.Array
-    # block directories: hi32 -> (block start, size) for the ref jumpgate
-    # blocks and hi24 -> (start, size) for snp blocks; replaces two
-    # log2(n)-deep binary searches per block query with one bucket gather
-    ref_bd: jax.Array      # (nb, 32) u32 hash table keyed (hi32, 0)
-    snp_bd: jax.Array      # keyed (hi24, 0)
+    # block jumpgates: prefix-count arrays over the top 24 key bits.
+    # snp blocks ARE hi24 blocks (reference 2^24 jumpgate, qv.cc:615), so
+    # snp_jg[h24] / snp_jg[h24+1] give exact bounds in two 4-byte gathers.
+    # ref blocks are hi32-keyed (reference 16 GiB 2^32 jumpgate,
+    # qv.cc:528-584); ref_jg narrows to the hi24 block and one aligned
+    # ref_win_rows x 128 B window gather over ref_hi (padded to a 32-row
+    # multiple so the (n/32, 32) reshape is free) resolves the exact hi32
+    # sub-block -- same gather bytes as a bucket probe, no 4.3 GB directory
+    ref_jg: jax.Array      # (2^24 + 1,) u32
+    snp_jg: jax.Array      # (2^24 + 1,) u32
     # static metadata
     snp_bf_bits: int = dataclasses.field(metadata=dict(static=True))
     ref_bf_bits: int = dataclasses.field(metadata=dict(static=True))
@@ -77,18 +82,21 @@ class DeviceIndex:
     snp_ht_chain: int = dataclasses.field(metadata=dict(static=True))
     ref_pf_bits: int = dataclasses.field(metadata=dict(static=True))
     snp_pf_bits: int = dataclasses.field(metadata=dict(static=True))
-    ref_bd_nb: int = dataclasses.field(metadata=dict(static=True))
-    ref_bd_chain: int = dataclasses.field(metadata=dict(static=True))
-    snp_bd_nb: int = dataclasses.field(metadata=dict(static=True))
-    snp_bd_chain: int = dataclasses.field(metadata=dict(static=True))
+    # rows of 32 ref_hi values a hi32 block-bounds query must gather to
+    # cover the largest hi24 block (build-time measured)
+    ref_win_rows: int = dataclasses.field(metadata=dict(static=True))
+    # true (pre-padding) dictionary row counts; the dict arrays themselves
+    # are zero-padded to a 32-row multiple (see build_device_index.pad32)
+    n_ref_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_snp_rows: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_ref(self) -> int:
-        return self.ref_hi.shape[0]
+        return self.n_ref_rows
 
     @property
     def n_snp(self) -> int:
-        return self.snp_hi.shape[0]
+        return self.n_snp_rows
 
     @property
     def n_sites(self) -> int:
@@ -160,18 +168,32 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
     snp_tab = build_hash_table(snp_hi, snp_lo, snp_pos_a, snp_flag_a,
                                snp_info_a)
 
-    def block_directory(keys_hi):
-        """hi -> (start_row u32 in pos, size u16 packed in flag|info<<8)."""
-        uniq, start, count = np.unique(keys_hi, return_index=True,
-                                       return_counts=True)
-        size = np.minimum(count, 0xFFFF).astype(np.uint32)
-        return build_hash_table(
-            uniq.astype(np.uint32), np.zeros_like(uniq, np.uint32),
-            start.astype(np.uint32), (size & 0xFF).astype(np.uint8),
-            ((size >> 8) & 0xFF).astype(np.uint8))
+    def jumpgate24(keys_hi24):
+        """Prefix counts over the top 24 key bits: block h24 occupies rows
+        [jg[h24], jg[h24+1]).  Returns (jg, max_block_rows)."""
+        counts = np.bincount(keys_hi24.astype(np.int64), minlength=1 << 24)
+        maxblk = int(counts.max(initial=1))
+        jg = np.zeros((1 << 24) + 1, np.uint32)
+        jg[1:] = np.cumsum(counts).astype(np.uint32)
+        return jg, maxblk
 
-    ref_bd = block_directory(ref_hi)
-    snp_bd = block_directory(snp_hi >> 8)
+    ref_jg, ref_maxblk = jumpgate24(ref_hi >> np.uint32(8))
+    snp_jg, _ = jumpgate24(snp_hi >> np.uint32(8))
+    ref_win_rows = max(1, (max(ref_maxblk, 1) + 62) // 32)
+    n_ref_rows = int(ref_hi.shape[0])
+    n_snp_rows = int(snp_hi.shape[0])
+
+    def pad32(a):
+        """Zero-pad rows to a multiple of 32.  Reads in the pad region
+        return 0, which is exactly the engine's out-of-dict semantics (the
+        stride-bug 'fresh mmap reads as 0' model, backend.ref_scan), so the
+        padding is behaviorally invisible; it exists so ref_hi can be
+        reshaped (n/32, 32) for free inside jit (window gathers)."""
+        n = a.shape[0]
+        p = -n % 32
+        if p == 0:
+            return a
+        return np.concatenate([a, np.zeros((p,) + a.shape[1:], a.dtype)])
 
     from .hashtable import prefilter_bits
 
@@ -185,6 +207,13 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
     ref_pf = prefilter_bits(ref_hi, ref_lo, ref_pf_bits)
     snp_pf = prefilter_bits(snp_hi, snp_lo, snp_pf_bits)
 
+    ref_hi, ref_lo = pad32(ref_hi), pad32(ref_lo)
+    ref_pos_a, ref_flag_a = pad32(ref_pos_a), pad32(ref_flag_a)
+    snp_hi, snp_lo = pad32(snp_hi), pad32(snp_lo)
+    snp_pos_a, snp_info_a, snp_flag_a = (pad32(snp_pos_a),
+                                         pad32(snp_info_a),
+                                         pad32(snp_flag_a))
+
     dev = jax.device_put
     return DeviceIndex(
         ref_ht=dev(ref_tab.table), snp_ht=dev(snp_tab.table),
@@ -192,9 +221,9 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
         snp_ht_nb=snp_tab.nb, snp_ht_chain=snp_tab.chain,
         ref_pf=dev(ref_pf), snp_pf=dev(snp_pf),
         ref_pf_bits=ref_pf_bits, snp_pf_bits=snp_pf_bits,
-        ref_bd=dev(ref_bd.table), snp_bd=dev(snp_bd.table),
-        ref_bd_nb=ref_bd.nb, ref_bd_chain=ref_bd.chain,
-        snp_bd_nb=snp_bd.nb, snp_bd_chain=snp_bd.chain,
+        ref_jg=dev(ref_jg), snp_jg=dev(snp_jg),
+        ref_win_rows=ref_win_rows,
+        n_ref_rows=n_ref_rows, n_snp_rows=n_snp_rows,
         ref_hi=dev(ref_hi), ref_lo=dev(ref_lo),
         ref_pos=dev(ref_pos_a), ref_flag=dev(ref_flag_a),
         ref_aux=dev(ref_aux_a),

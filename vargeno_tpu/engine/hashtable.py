@@ -128,8 +128,13 @@ def prefilter_bits(hi: np.ndarray, lo: np.ndarray, pf_bits: int
         h = np_hash32(lo) ^ (np_hash32(hi) * np.uint32(_MIX))
     bit = (h & np.uint32(pf_bits - 1)).astype(np.int64)
     words = np.zeros(pf_bits // 32, np.uint32)
-    np.bitwise_or.at(words, bit >> 5,
-                     np.uint32(1) << (bit & 31).astype(np.uint32))
+    from .. import native
+
+    if bit.size >= (1 << 16) and native.available():
+        native.bf_set_bits(words, bit)
+    else:
+        np.bitwise_or.at(words, bit >> 5,
+                         np.uint32(1) << (bit & 31).astype(np.uint32))
     return words
 
 

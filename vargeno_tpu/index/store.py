@@ -108,6 +108,11 @@ def save_npz(prefix: str, index: VarGenoIndex) -> None:
         snp_locations=(index.snp_locations
                        if index.snp_locations is not None
                        else np.zeros(0, bool)),
+        # derived sites persisted so geno startup skips the (multi-second)
+        # derive_sites pass; older files without them still load
+        site_pos=index.sites.pos, site_ref=index.sites.ref,
+        site_alt=index.sites.alt, site_rf=index.sites.rf,
+        site_af=index.sites.af,
     )
 
 
@@ -121,11 +126,17 @@ def load_npz(prefix: str) -> VarGenoIndex:
                   aux_pos=z["snp_aux_pos"], aux_snp=z["snp_aux_snp"],
                   aux_rf=z["snp_aux_rf"], aux_af=z["snp_aux_af"])
     chrlens = [(str(n), int(l)) for n, l in zip(z["chr_names"], z["chr_lens"])]
+    if "site_pos" in z.files:
+        sites = SnpSites(pos=z["site_pos"], ref=z["site_ref"],
+                         alt=z["site_alt"], rf=z["site_rf"],
+                         af=z["site_af"])
+    else:  # pre-0.1 files: derive at load
+        sites = derive_sites(snp)
     idx = VarGenoIndex(
         ref=ref, snp=snp,
         ref_bf=BitVector(int(z["ref_bf_bits"]), z["ref_bf_words"]),
         snp_bf=BitVector(int(z["snp_bf_bits"]), z["snp_bf_words"]),
-        chrlens=chrlens, sites=derive_sites(snp),
+        chrlens=chrlens, sites=sites,
         snp_locations=z["snp_locations"].astype(bool)
         if z["snp_locations"].size else None)
     return idx

@@ -109,13 +109,18 @@ def main():
     # warm up / compile both step variants on one batch
     runner.consume_fastq(fq, limit_batches=2)
 
-    t0 = time.time()
-    n0 = runner.n_reads
-    runner.consume_fastq(fq)
-    jax.block_until_ready(runner.ref_cnt)
-    dt = time.time() - t0
-    nreads = runner.n_reads - n0
-    rate = nreads / dt
+    # median of full passes: the measurement environment (shared chip /
+    # tunneled dispatch) shows 1.5-2x transient throughput swings, so a
+    # single long pass is a lottery; the median pass is the steady state
+    rates = []
+    for _ in range(5):
+        t0 = time.time()
+        n0 = runner.n_reads
+        runner.consume_fastq(fq)
+        jax.block_until_ready(runner.ref_cnt)
+        dt = time.time() - t0
+        rates.append((runner.n_reads - n0) / dt)
+    rate = sorted(rates)[len(rates) // 2]
     ovf = {k: v for k, v in runner.stats_totals.items()
            if "overflow" in k and v}
     if ovf:

@@ -443,6 +443,9 @@ class ShardedDictGenoRunner:
             snp_bf_bits=base.snp_bf_bits, ref_bf_bits=base.ref_bf_bits,
             ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1, snp_ht_chain=1,
             ref_win_rows=1,
+            # shard blocks are whole global blocks (boundaries snap to
+            # key changes), so the global maxima bound per-shard scans
+            ref_scan_max=base.ref_scan_max, snp_scan_max=base.snp_scan_max,
             n_ref_rows=stacked["ref_hi"].shape[1],
             n_snp_rows=stacked["snp_hi"].shape[1],
             ref_pf_bits=1024, snp_pf_bits=1024,
@@ -515,6 +518,8 @@ class ShardedDictGenoRunner:
                     ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1,
                     snp_ht_chain=1,
                     ref_win_rows=1,
+                    ref_scan_max=self.arg.dix.ref_scan_max,
+                    snp_scan_max=self.arg.dix.snp_scan_max,
                     n_ref_rows=self.arg.dix.n_ref_rows,
                     n_snp_rows=self.arg.dix.n_snp_rows,
                     ref_pf_bits=1024, snp_pf_bits=1024),

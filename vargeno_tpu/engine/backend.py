@@ -60,6 +60,13 @@ class LocalBackend:
         self.stride_bug = stride_bug
         self.S = block_size_threshold
         self.scan_slots = min(scan_slot_cap, block_size_threshold)
+        # no block ever exceeds the build-time measured maxima, so the
+        # scan width shrinks to the data's bound (exact: larger blocks
+        # take the big-block path / cannot exist)
+        self.ref_scan_slots = max(1, min(self.scan_slots,
+                                         getattr(dix, "ref_scan_max", 1 << 30)))
+        self.snp_scan_slots = max(1, min(self.scan_slots,
+                                         getattr(dix, "snp_scan_max", 1 << 30)))
         self.sparse_frac = sparse_frac
 
     # --- exact queries (one bucket-row gather per probe; hashtable.py) ---
@@ -191,7 +198,7 @@ class LocalBackend:
     def ref_scan(self, q_hi, q_lo, active) -> ScanResult:
         """Small-block ref scan for each item; `active` masks items."""
         d = self.dix
-        S = self.scan_slots
+        S = self.ref_scan_slots
         NI = q_hi.shape[0]
         n_ref = self._ref_limit()
         blo, bsize = self._ref_block_bounds(q_hi)
@@ -223,7 +230,7 @@ class LocalBackend:
 
     def snp_scan(self, q_hi, q_lo, active) -> ScanResult:
         d = self.dix
-        S = self.scan_slots
+        S = self.snp_scan_slots
         NI = q_hi.shape[0]
         n_snp = self._snp_limit()
         slo, ssize = self._snp_block_bounds(q_hi >> 8)

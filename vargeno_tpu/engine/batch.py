@@ -113,9 +113,11 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                                 cfg.block_size_threshold,
                                 cfg.scan_slot_cap, cfg.sparse_frac)
 
-    # probe slot geometry depends on the backend's scan capacity
-    SCAN = backend_factory(dix).scan_slots
-    P_SMALL = 2 * SCAN
+    # probe slot geometry depends on the backend's scan capacities
+    _be0 = backend_factory(dix)
+    SCAN = _be0.scan_slots
+    P_SMALL = (getattr(_be0, "ref_scan_slots", SCAN)
+               + getattr(_be0, "snp_scan_slots", SCAN))
     P_BIGLO = 16 * 4 * 2
     P_HI = 16 * 4 * 2
     P2 = P_SMALL + P_BIGLO + P_HI

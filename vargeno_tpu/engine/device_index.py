@@ -85,6 +85,12 @@ class DeviceIndex:
     # rows of 32 ref_hi values a hi32 block-bounds query must gather to
     # cover the largest hi24 block (build-time measured)
     ref_win_rows: int = dataclasses.field(metadata=dict(static=True))
+    # largest ref hi32 block / snp hi24 block (rows).  The small-block
+    # Hamming scans never see a block bigger than these, so scan width
+    # shrinks from the 100-slot worst case to the data's actual bound
+    # (typically <16), cutting scan-stage gather traffic accordingly.
+    ref_scan_max: int = dataclasses.field(metadata=dict(static=True))
+    snp_scan_max: int = dataclasses.field(metadata=dict(static=True))
     # true (pre-padding) dictionary row counts; the dict arrays themselves
     # are zero-padded to a 32-row multiple (see build_device_index.pad32)
     n_ref_rows: int = dataclasses.field(metadata=dict(static=True))
@@ -178,10 +184,22 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
         return jg, maxblk
 
     ref_jg, ref_maxblk = jumpgate24(ref_hi >> np.uint32(8))
-    snp_jg, _ = jumpgate24(snp_hi >> np.uint32(8))
+    snp_jg, snp_maxblk24 = jumpgate24(snp_hi >> np.uint32(8))
     ref_win_rows = max(1, (max(ref_maxblk, 1) + 62) // 32)
     n_ref_rows = int(ref_hi.shape[0])
     n_snp_rows = int(snp_hi.shape[0])
+
+    def max_run(sorted_keys):
+        """Longest run of equal values in a sorted array."""
+        n = sorted_keys.shape[0]
+        if n == 0:
+            return 1
+        b = np.flatnonzero(np.diff(sorted_keys) != 0)
+        edges = np.concatenate([[-1], b, [n - 1]])
+        return max(1, int(np.diff(edges).max()))
+
+    ref_scan_max = max_run(ref_hi)          # hi32 blocks
+    snp_scan_max = max(1, int(snp_maxblk24))  # snp blocks ARE hi24 blocks
 
     def pad32(a):
         """Zero-pad rows to a multiple of 32.  Reads in the pad region
@@ -223,6 +241,7 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
         ref_pf_bits=ref_pf_bits, snp_pf_bits=snp_pf_bits,
         ref_jg=dev(ref_jg), snp_jg=dev(snp_jg),
         ref_win_rows=ref_win_rows,
+        ref_scan_max=ref_scan_max, snp_scan_max=snp_scan_max,
         n_ref_rows=n_ref_rows, n_snp_rows=n_snp_rows,
         ref_hi=dev(ref_hi), ref_lo=dev(ref_lo),
         ref_pos=dev(ref_pos_a), ref_flag=dev(ref_flag_a),

@@ -130,7 +130,8 @@ def ablate_profile():
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
     index = store.load_npz(os.path.join(CACHE, "bench"))
     cfg = GenoConfig(batch_reads=B, max_read_len=128, max_kmers_per_read=4,
-                     neighbor_item_frac=nif)
+                     neighbor_item_frac=nif,
+                     pallas_vote=bool(os.environ.get("PALLAS")))
     dix = build_device_index(index)
     batches = list(iter_read_batches(os.path.join(CACHE, "reads.fq"),
                                      cfg.batch_reads, cfg.max_read_len,
@@ -138,7 +139,7 @@ def ablate_profile():
     b = batches[0]
     codes = jnp.asarray(b.codes); nk = jnp.asarray(b.n_kmers); qual = jnp.asarray(b.qual)
     n = dix.n_sites
-    for mode in ("no_vote", "no_pileup", ""):
+    for mode in ("probes", "no_vote", "no_pileup", ""):
         step = make_batch_processor(dix, cfg, _ablate=mode)
         def run(codes, nk, qual):
             rc = jnp.zeros(n + 1, jnp.int32); ac = jnp.zeros(n + 1, jnp.int32)

@@ -34,6 +34,22 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def _honor_platform_env() -> None:
+    """Make JAX_PLATFORMS reliable: some out-of-tree device plugins ignore
+    the env var but respect the config API, so a user asking for
+    JAX_PLATFORMS=cpu would still hang on an unreachable accelerator."""
+    plat = _os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 _enable_compilation_cache()
+_honor_platform_env()
 
 from .config import DEFAULT_CONFIG, GenoConfig  # noqa: F401

@@ -133,9 +133,15 @@ def main(argv=None):
     p.add_argument("snp_bf")
 
     p = sub.add_parser("encodebf",
-                       help="SNP Bloom filter from raw values (gbf encode)")
+                       help="SNP Bloom filter from raw values; without "
+                       "--ref-fasta this is `gbf snp`, with it `gbf encode`"
+                       " (both reference:src/gbf.cc:31-66)")
     p.add_argument("encode_file")
     p.add_argument("snp_bf")
+    p.add_argument("--ref-fasta", default=None,
+                   help="also build the genome Bloom filter (gbf encode)")
+    p.add_argument("--ref-bf", default=None,
+                   help="output path for the genome BF (with --ref-fasta)")
 
     p = sub.add_parser("filt", help="shrink ref dict to SNP-proximal k-mers")
     p.add_argument("prefix")
@@ -304,6 +310,18 @@ def main(argv=None):
         from .config import DEFAULT_CONFIG as cfg
         from .index import store, ucsc
 
+        if args.ref_fasta:  # gbf encode: genome BF + encode snp BF
+            from .index import bloom
+            from .io import fasta as fasta_io
+
+            if not args.ref_bf:
+                print("encodebf: --ref-bf is required with --ref-fasta",
+                      file=sys.stderr)
+                return 1
+            seqs = fasta_io.parse_fasta(args.ref_fasta)
+            ref_bf, _ = bloom.build_ref_bfs(seqs, cfg.ref_bf_bits,
+                                            cfg.ref_lite_bf_bits)
+            store.write_sdsl_bf(args.ref_bf, ref_bf)
         bf = ucsc.build_snp_bf_encode(args.encode_file, cfg.snp_bf_bits)
         store.write_sdsl_bf(args.snp_bf, bf)
         return 0

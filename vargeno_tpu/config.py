@@ -74,8 +74,10 @@ class GenoConfig:
     scan_slot_cap: int = 24        # gathered block-scan slots (<=100); real
                                    # jumpgate blocks are tiny, overflow is
                                    # counted if one exceeds the cap
-    sparse_frac: float = 0.25      # survivor-lane fraction kept after the
+    sparse_frac: float = 0.0625    # survivor-lane fraction kept after the
                                    # full-key prefilter in sparse lookups
+                                   # (observed pass rate ~3%; overflow is
+                                   # counted and auto-retry doubles it)
     auto_retry_max: int = 3        # overflow escalation rounds per batch:
                                    # a batch that trips any capacity counter
                                    # is re-run with the tripped caps doubled

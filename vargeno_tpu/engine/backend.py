@@ -72,12 +72,12 @@ class LocalBackend:
     # --- exact queries (one bucket-row gather per probe; hashtable.py) ---
 
     def exact_ref(self, q_hi, q_lo, valid=None):
-        """(hit, pos, flag); `valid` is a routing hint (unused locally)"""
+        """(hit, pos, flag); masked lanes' gathers coalesce to bucket 0"""
         from .hashtable import ht_lookup
 
         d = self.dix
         hit, pos, flag, _ = ht_lookup(d.ref_ht, d.ref_ht_nb, d.ref_ht_chain,
-                                      q_hi, q_lo)
+                                      q_hi, q_lo, valid)
         return hit, pos, flag
 
     def exact_snp(self, q_hi, q_lo, valid=None):
@@ -86,7 +86,7 @@ class LocalBackend:
 
         d = self.dix
         hit, pos, flag, info = ht_lookup(d.snp_ht, d.snp_ht_nb,
-                                         d.snp_ht_chain, q_hi, q_lo)
+                                         d.snp_ht_chain, q_hi, q_lo, valid)
         return hit, pos, info, flag
 
     # sparse variants: for probe sets that overwhelmingly MISS (Hamming
@@ -104,7 +104,7 @@ class LocalBackend:
              else valid.reshape(-1))
         N = qh.shape[0]
         NS = max(64, min(N, int(N * self.sparse_frac)))
-        maybe = v & prefilter_test(pf, pf_bits, qh, ql)
+        maybe = prefilter_test(pf, pf_bits, qh, ql, v)
         tgt = cumsum_mask(maybe) - 1
         keep = maybe & (tgt < NS)
         ovf = jnp.sum(maybe) - jnp.sum(keep)

@@ -350,6 +350,21 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         h_b = it_b[h_item]
         h_k = it_k[h_item]
 
+        if _ablate == "probes":  # profiling: stop after probe compaction
+            anchor = (jnp.sum(h_pos).astype(I32) + jnp.sum(h_diff)
+                      + jnp.sum(h_nbhi.astype(I32)) + jnp.sum(h_isref))
+            stats = dict(ni_overflow=ni_overflow, probe_overflow=ph_overflow,
+                         event_overflow=anchor,
+                         cand_overflow=jnp.zeros((), I32),
+                         snp_scan_overflow=scan_ovf)
+            z = jnp.zeros((B, E), U32)
+            buf = dict(idx=z, kpos=z, nbhi=z, nblo=z,
+                       modif=z.astype(I32), k=z.astype(I32),
+                       isnb=z != 0, valid=z != 0)
+            return dict(buf=buf, process=jnp.zeros(B, bool),
+                        target=jnp.zeros(B, U32), read_ok=read_ok,
+                        stats=stats)
+
         nb_kpos, nb_valid = expand_probe_events(
             dix, h_isref, h_pos, h_flag, h_info, h_diff, h_ok)  # (NH, 10)
 

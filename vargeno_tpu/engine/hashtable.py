@@ -138,17 +138,26 @@ def prefilter_bits(hi: np.ndarray, lo: np.ndarray, pf_bits: int
     return words
 
 
-def prefilter_test(words, pf_bits: int, q_hi, q_lo):
+def prefilter_test(words, pf_bits: int, q_hi, q_lo, valid=None):
     h = hash32(q_lo) ^ (hash32(q_hi) * U32(_MIX))
     bit = h & U32(pf_bits - 1)
+    if valid is not None:  # coalesce masked lanes' gathers onto word 0
+        bit = jnp.where(valid, bit, U32(0))
     w = jnp.take(words, (bit >> 5).astype(jnp.int32), axis=0, mode="clip")
-    return ((w >> (bit & U32(31))) & U32(1)) != 0
+    hitbit = ((w >> (bit & U32(31))) & U32(1)) != 0
+    return hitbit if valid is None else (hitbit & valid)
 
 
-def ht_lookup(table2d, nb: int, chain: int, q_hi, q_lo):
-    """Returns (hit, pos, flag, info) for any query shape."""
+def ht_lookup(table2d, nb: int, chain: int, q_hi, q_lo, valid=None):
+    """Returns (hit, pos, flag, info) for any query shape.
+
+    ``valid`` (optional bool mask) routes masked-off lanes to bucket 0 so
+    their gathers coalesce onto one cache line instead of scattering HBM
+    traffic (results for those lanes are masked to miss)."""
     h = hash32(q_lo) ^ (hash32(q_hi) * U32(_MIX))
     b = (h & U32(nb - 1)).astype(jnp.int32)
+    if valid is not None:
+        b = jnp.where(valid, b, 0)
     S = table2d.shape[1] // 4
     found = jnp.zeros(q_hi.shape, bool)
     pos = jnp.zeros(q_hi.shape, U32)
@@ -166,6 +175,10 @@ def ht_lookup(table2d, nb: int, chain: int, q_hi, q_lo):
         pos = jnp.where(new, sel_pos, pos)
         meta = jnp.where(new, sel_meta, meta)
         found = found | anym
+    if valid is not None:  # rerouted lanes must read as misses
+        found = found & valid
+        pos = jnp.where(valid, pos, U32(0))
+        meta = jnp.where(valid, meta, U32(0))
     flag = (meta & U32(0xFF)).astype(jnp.uint8)
     info = ((meta >> 16) & U32(0xFF)).astype(jnp.uint8)
     return found, pos, flag, info

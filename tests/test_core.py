@@ -39,6 +39,28 @@ def test_u64_mod():
         np.testing.assert_array_equal(got, (a % np.uint64(m)).astype(np.uint32))
 
 
+def test_u64_mod_const():
+    """Reciprocal mod (engine snp-BF path) exact vs numpy, incl. multiples
+    of m +/- 1 (the conditional-subtract edge) and both magic regimes
+    (M < 2**64 and M >= 2**64)."""
+    base = RNG.integers(0, 2**64, size=4096, dtype=np.uint64)
+    for m in (1_120_000_000, 3, 2**31 - 1, 999_999_937, 1009, 2**30 + 1,
+              2**20, 6, 97):
+        a = np.concatenate([
+            base,
+            (base % np.uint64(2**64 // m)) * np.uint64(m),
+            (base % np.uint64(2**64 // m - 1)) * np.uint64(m)
+            + np.uint64(m - 1),
+            np.array([0, 1, m - 1, m, m + 1, 2**64 - 1, 2**63, 2**32],
+                     dtype=np.uint64),
+        ])
+        pa = ((a >> np.uint64(32)).astype(np.uint32),
+              (a & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        got = np.asarray(u64.mod_const(
+            (jnp.asarray(pa[0]), jnp.asarray(pa[1])), m))
+        np.testing.assert_array_equal(got, (a % np.uint64(m)).astype(np.uint32))
+
+
 def test_pack_kmers_matches_u64_oracle():
     codes = RNG.integers(0, 4, size=(64, 32), dtype=np.uint8)
     want = kmer.np_pack_kmers_u64(codes)

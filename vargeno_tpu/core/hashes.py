@@ -56,7 +56,7 @@ def snp_bf_bit(hi, lo, snp_bf_bits: int):
     src/util.h:25).
     """
     h = hash40(hi, lo)
-    return u64m.mod_u31(h, snp_bf_bits)
+    return u64m.mod_const(h, snp_bf_bits)
 
 
 # --- host numpy mirrors ---

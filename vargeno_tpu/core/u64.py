@@ -112,6 +112,79 @@ def mod_u31(a, m: int, nbits: int = 64):
     return r
 
 
+def _add_c(a, b):
+    """u64 pair addition with carry-out (0/1 uint32)."""
+    lo = a[1] + b[1]
+    c = (lo < a[1]).astype(_U32)
+    hi = a[0] + b[0]
+    c_hi = (hi < a[0]).astype(_U32)
+    hi2 = hi + c
+    c_hi2 = (hi2 < hi).astype(_U32)
+    return (hi2, lo), c_hi + c_hi2
+
+
+def _mulhi64(a, b):
+    """floor(a*b / 2**64) of two u64 pairs, as a u64 pair."""
+    a1, a0 = a
+    b1, b0 = b
+    t0 = _mul32_wide(a0, b0)
+    t1 = _mul32_wide(a0, b1)
+    t2 = _mul32_wide(a1, b0)
+    t3 = _mul32_wide(a1, b1)
+    # mid = t1 + t2 + (t0 >> 32); < 3 * 2**64, carries counted explicitly
+    m1, c1 = _add_c(t1, t2)
+    m2, c2 = _add_c(m1, (jnp.zeros_like(a0), t0[0]))
+    cc = c1 + c2                       # 0..2 -> bits [64,65] of mid
+    # hi128 = t3 + (mid >> 32)  where mid >> 32 = (cc<<32 | m2hi) : m2lo>>32
+    mid_hi = (cc, m2[0])               # u64: floor(mid / 2**32)
+    out, _ = _add_c(t3, mid_hi)
+    return out
+
+
+def mod_const(a, m: int):
+    """Exact ``a mod m`` for a u64 pair ``a`` and a static int 1 < m < 2**31.
+
+    Reciprocal multiply-high: with s = ceil(log2 m) and
+    M = floor(2**(64+s) / m), q_hat = floor(a*M / 2**(64+s)) satisfies
+    q - 2 <= q_hat <= q (q = floor(a/m)): a*M <= a*2**(64+s)/m gives the
+    upper bound, and a*M > a*2**(64+s)/m - a with a/2**(64+s) < 2**-s <= 1
+    gives the lower.  Two conditional subtracts finish.  ~35 vector ops
+    replacing the 64-step restoring division (mod_u31).
+    """
+    assert 1 < m < (1 << 31)
+    if m & (m - 1) == 0:  # power of two
+        return a[1] & _U32(m - 1)
+    s = max(1, (m - 1).bit_length())
+    M = ((1 << (64 + s)) // m)
+    if M < (1 << 64):
+        q = shr(_mulhi64(a, from_py(M)), s)
+    else:
+        # M in [2**64, 2**65): aM/2**64 = a*(M - 2**64)/2**64 + a; the +a
+        # may carry past 2**64, injected back above the shift.  Nested
+        # flooring costs at most one more unit: q - q_hat <= 3.
+        h = _mulhi64(a, from_py(M - (1 << 64)))
+        ssum, carry = _add_c(h, a)
+        q = shr(ssum, s)
+        # the carry contributes carry * 2**(64 - s) to q
+        if (64 - s) >= 32:
+            q = (q[0] + (carry << (64 - s - 32)), q[1])
+        else:
+            q, _ = _add_c(q, (jnp.zeros_like(carry), carry << (64 - s)))
+    qm = mul(q, from_py(m))            # q*m <= a < 2**64: low 64 exact
+    # r = a - q*m  (fits u64; r < 4m < 2**33)
+    borrow = (a[1] < qm[1]).astype(_U32)
+    r_lo = a[1] - qm[1]
+    r_hi = a[0] - qm[0] - borrow
+    mm = _U32(m)
+    for _ in range(3):
+        ge = (r_hi > 0) | (r_lo >= mm)
+        new_lo = r_lo - mm
+        new_hi = r_hi - (r_lo < mm).astype(_U32)
+        r_lo = jnp.where(ge, new_lo, r_lo)
+        r_hi = jnp.where(ge, new_hi, r_hi)
+    return r_lo
+
+
 def to_u64_np(pair):
     """Host-side: reassemble a numpy uint64 from a (hi, lo) pair."""
     import numpy as np

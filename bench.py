@@ -54,8 +54,8 @@ def build_index(fa, vcf):
     from vargeno_tpu.index.build import build_index as bi
 
     prefix = os.path.join(CACHE, "bench")
-    if os.path.exists(prefix + ".vgt.npz"):
-        return store.load_npz(prefix)
+    if store.exists(prefix):
+        return store.load(prefix)
     return bi(fa, vcf, prefix)
 
 

@@ -112,3 +112,30 @@ def test_cli_help():
     assert out.returncode == 0
     for cmd in ("index", "geno", "vcfbf", "ucscd", "ucscbf", "filt"):
         assert cmd in out.stdout
+
+
+def test_store_dir_roundtrip(mini_index, tmp_path):
+    import numpy as np
+
+    from vargeno_tpu.index import store
+
+    prefix = str(tmp_path / "idx")
+    store.save(prefix, mini_index)
+    assert store.exists(prefix)
+    got = store.load(prefix)  # mmap path
+    np.testing.assert_array_equal(np.asarray(got.ref.kmers),
+                                  mini_index.ref.kmers)
+    np.testing.assert_array_equal(np.asarray(got.snp.pos),
+                                  mini_index.snp.pos)
+    np.testing.assert_array_equal(np.asarray(got.ref_bf.words),
+                                  mini_index.ref_bf.words)
+    np.testing.assert_array_equal(np.asarray(got.sites.pos),
+                                  mini_index.sites.pos)
+    assert got.chrlens == mini_index.chrlens
+    assert got.ref_bf.bits == mini_index.ref_bf.bits
+    # the mmap'd index must drive the engine identically: device index
+    # build accepts read-only arrays
+    from vargeno_tpu.engine.device_index import build_device_index
+
+    dix = build_device_index(got)
+    assert dix.n_ref == mini_index.ref.kmers.shape[0]

@@ -167,7 +167,7 @@ def main(argv=None):
             from .dist.sharded_dict import ShardedDictGenoRunner
             from .index import store
 
-            index = store.load_npz(args.prefix)
+            index = store.load(args.prefix)
             mesh = make_mesh(args.mesh)
             cls = (ShardedDictGenoRunner if args.sharded_dict
                    else ShardedGenoRunner)
@@ -178,7 +178,7 @@ def main(argv=None):
         from .engine.geno import GenoRunner
         from .index import store
 
-        index = store.load_npz(args.prefix)
+        index = store.load(args.prefix)
         runner = GenoRunner(index, cfg, metrics_path=args.metrics)
         runner.consume_fastq(args.reads_fq,
                              checkpoint_path=args.checkpoint)
@@ -192,7 +192,7 @@ def main(argv=None):
         from .index import store
 
         pairs = [s.split("=", 1) for s in args.samples]
-        index = store.load_npz(args.prefix)
+        index = store.load(args.prefix)
         runner = CohortRunner(index, [n for n, _ in pairs], _config(args))
         for name, fq in pairs:
             runner.consume_sample(name, fq)
@@ -225,7 +225,7 @@ def main(argv=None):
         from .io.vcf_writer import write_calls_vcf
         from .oracle import OracleEngine
 
-        index = store.load_npz(args.prefix)
+        index = store.load(args.prefix)
         eng = OracleEngine(index)
         eng.run_fastq(args.reads_fq)
         s = index.sites

@@ -38,7 +38,7 @@ def build_index(ref_fasta: str, snp_vcf: str, prefix: str,
         snp_locations=snp_locs)
 
     if write_native:
-        store.save_npz(prefix, index)
+        store.save(prefix, index)
     if write_reference_format:
         store.write_ref_dict(prefix + ".ref.dict", ref_dict)
         store.write_snp_dict(prefix + ".snp.dict", snp_dict)

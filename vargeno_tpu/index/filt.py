@@ -37,11 +37,11 @@ def filt_ref_dict(ref: RefDict, snp_locations: np.ndarray,
 
 def filt_prefix(prefix: str, out_prefix: str,
                 read_len: int = 101) -> None:
-    index = store.load_npz(prefix)
+    index = store.load(prefix)
     if index.snp_locations is None:
         raise SystemExit("index has no snp_locations; rebuild with "
                          "vargeno-tpu index")
     new_ref = filt_ref_dict(index.ref, index.snp_locations, read_len)
     index.ref = new_ref
-    store.save_npz(out_prefix, index)
+    store.save(out_prefix, index)
     print(f"New size: {new_ref.kmers.shape[0]}")

@@ -142,6 +142,112 @@ def load_npz(prefix: str) -> VarGenoIndex:
     return idx
 
 
+# --- native directory format (raw .npy per array, mmap-able) ---
+
+_DIR_ARRAYS = dict(
+    ref_kmers="ref.kmers", ref_pos="ref.pos", ref_flag="ref.flag",
+    ref_aux="ref.aux", snp_kmers="snp.kmers", snp_pos="snp.pos",
+    snp_snp="snp.snp", snp_flag="snp.flag", snp_rf="snp.rf",
+    snp_af="snp.af", snp_aux_kmer="snp.aux_kmer", snp_aux_pos="snp.aux_pos",
+    snp_aux_snp="snp.aux_snp", snp_aux_rf="snp.aux_rf",
+    snp_aux_af="snp.aux_af", ref_bf_words="ref_bf.words",
+    snp_bf_words="snp_bf.words", snp_locations="snp_locations",
+    site_pos="site.pos", site_ref="site.ref", site_alt="site.alt",
+    site_rf="site.rf", site_af="site.af",
+)
+
+
+def save_dir(prefix: str, index: VarGenoIndex) -> None:
+    """``<prefix>.vgt/``: one raw .npy per array + meta.json.
+
+    Unlike the single-zip .vgt.npz, raw .npy files load with
+    ``np.load(mmap_mode='r')`` in ~0 time -- the OS pages data in on first
+    touch, so geno startup skips the ~15 s zip extraction entirely."""
+    import json
+    import os
+
+    d = prefix + ".vgt"
+    os.makedirs(d, exist_ok=True)
+    vals = dict(
+        ref_kmers=index.ref.kmers, ref_pos=index.ref.pos,
+        ref_flag=index.ref.flag, ref_aux=index.ref.aux,
+        snp_kmers=index.snp.kmers, snp_pos=index.snp.pos,
+        snp_snp=index.snp.snp, snp_flag=index.snp.flag,
+        snp_rf=index.snp.ref_freq, snp_af=index.snp.alt_freq,
+        snp_aux_kmer=index.snp.aux_kmer, snp_aux_pos=index.snp.aux_pos,
+        snp_aux_snp=index.snp.aux_snp, snp_aux_rf=index.snp.aux_rf,
+        snp_aux_af=index.snp.aux_af,
+        ref_bf_words=index.ref_bf.words, snp_bf_words=index.snp_bf.words,
+        snp_locations=(index.snp_locations
+                       if index.snp_locations is not None
+                       else np.zeros(0, bool)),
+        site_pos=index.sites.pos, site_ref=index.sites.ref,
+        site_alt=index.sites.alt, site_rf=index.sites.rf,
+        site_af=index.sites.af,
+    )
+    for key, fname in _DIR_ARRAYS.items():
+        np.save(os.path.join(d, fname + ".npy"), vals[key])
+    meta = dict(version=1,
+                ref_bf_bits=int(index.ref_bf.bits),
+                snp_bf_bits=int(index.snp_bf.bits),
+                chrlens=[[n, int(l)] for n, l in index.chrlens])
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_dir(prefix: str, mmap: bool = True) -> VarGenoIndex:
+    import json
+    import os
+
+    d = prefix + ".vgt"
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    mm = "r" if mmap else None
+
+    def ld(key):
+        return np.load(os.path.join(d, _DIR_ARRAYS[key] + ".npy"),
+                       mmap_mode=mm)
+
+    ref = RefDict(kmers=ld("ref_kmers"), pos=ld("ref_pos"),
+                  flag=ld("ref_flag"), aux=ld("ref_aux"))
+    snp = SnpDict(kmers=ld("snp_kmers"), pos=ld("snp_pos"),
+                  snp=ld("snp_snp"), flag=ld("snp_flag"),
+                  ref_freq=ld("snp_rf"), alt_freq=ld("snp_af"),
+                  aux_kmer=ld("snp_aux_kmer"), aux_pos=ld("snp_aux_pos"),
+                  aux_snp=ld("snp_aux_snp"), aux_rf=ld("snp_aux_rf"),
+                  aux_af=ld("snp_aux_af"))
+    sites = SnpSites(pos=ld("site_pos"), ref=ld("site_ref"),
+                     alt=ld("site_alt"), rf=ld("site_rf"), af=ld("site_af"))
+    locs = ld("snp_locations")
+    return VarGenoIndex(
+        ref=ref, snp=snp,
+        ref_bf=BitVector(meta["ref_bf_bits"], ld("ref_bf_words")),
+        snp_bf=BitVector(meta["snp_bf_bits"], ld("snp_bf_words")),
+        chrlens=[(str(n), int(l)) for n, l in meta["chrlens"]],
+        sites=sites,
+        snp_locations=np.asarray(locs).astype(bool) if locs.size else None)
+
+
+def exists(prefix: str) -> bool:
+    import os
+
+    return (os.path.isdir(prefix + ".vgt")
+            or os.path.exists(prefix + ".vgt.npz"))
+
+
+def save(prefix: str, index: VarGenoIndex) -> None:
+    save_dir(prefix, index)
+
+
+def load(prefix: str) -> VarGenoIndex:
+    """Load a native index: ``<prefix>.vgt/`` (mmap) or ``<prefix>.vgt.npz``."""
+    import os
+
+    if os.path.isdir(prefix + ".vgt"):
+        return load_dir(prefix)
+    return load_npz(prefix)
+
+
 # --- reference binary formats ---
 
 def write_ref_dict(path: str, d: RefDict) -> None:

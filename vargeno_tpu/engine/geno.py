@@ -19,7 +19,7 @@ import numpy as np
 from ..config import GenoConfig, DEFAULT_CONFIG
 from ..finalize import finalize_calls
 from ..index import store
-from ..io.fastq import iter_read_batches
+from ..io.fastq import iter_read_batches, prefetch
 from ..io.vcf_writer import write_calls_vcf
 from .batch import make_batch_processor
 from .device_index import build_device_index
@@ -65,6 +65,8 @@ def _escalate_config(cfg: GenoConfig, tripped) -> GenoConfig:
 
 _merge_counts = jax.jit(lambda a, b, c, d: (a + c, b + d),
                         donate_argnums=(0, 1))
+_pack_stats = jax.jit(
+    lambda vals: jnp.stack([jnp.asarray(v, jnp.int32) for v in vals]))
 
 
 class GenoRunner:
@@ -127,8 +129,14 @@ class GenoRunner:
         else:
             rc, ac, stats = proc(codes, nk, qual, z, z2)
             process = read_ok = None
+        # pack the ~16 stat scalars into ONE device buffer: fetching them
+        # individually costs a device->host round trip each, which is the
+        # dominant per-batch host cost on high-latency links
+        keys = tuple(sorted(stats))
+        svec = _pack_stats([stats[k] for k in keys])
         return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
-                    stats=stats, args=(codes, nk, qual), single=single,
+                    stats_keys=keys, stats_vec=svec,
+                    args=(codes, nk, qual), single=single,
                     rounds=0)
 
     def _finalize_batch(self, p: dict):
@@ -137,8 +145,10 @@ class GenoRunner:
         reference run exactly even when the first attempt truncated); then
         merge its counts into the totals. Returns (process, read_ok)."""
         while True:
-            tripped = [k for k, v in p["stats"].items()
-                       if "overflow" in k and int(v)]
+            vals = np.asarray(p["stats_vec"])  # one transfer for all stats
+            stats = dict(zip(p["stats_keys"], vals.tolist()))
+            tripped = [k for k, v in stats.items()
+                       if "overflow" in k and v]
             if not tripped or p["rounds"] >= self.config.auto_retry_max:
                 break
             new_cfg = _escalate_config(self._cfg_run, tripped)
@@ -150,7 +160,7 @@ class GenoRunner:
             p["rounds"] = rounds
         self.ref_cnt, self.alt_cnt = self._merge(
             self.ref_cnt, self.alt_cnt, p["rc"], p["ac"])
-        self._bump(p["stats"])
+        self._bump(stats)
         return p["process"], p["read_ok"]
 
     def _run_batch(self, codes, nk, qual, single: bool):
@@ -181,10 +191,9 @@ class GenoRunner:
                                             checkpoint_every)
         else:
             pending = None
-            for batch in iter_read_batches(fastq_path, cfg.batch_reads,
-                                           cfg.max_read_len,
-                                           cfg.max_kmers_per_read,
-                                           skip_reads=skip):
+            for batch in prefetch(iter_read_batches(
+                    fastq_path, cfg.batch_reads, cfg.max_read_len,
+                    cfg.max_kmers_per_read, skip_reads=skip)):
                 cur = self._dispatch_batch(batch.codes, batch.n_kmers,
                                            batch.qual, single=False)
                 self.n_reads += batch.n_valid
@@ -310,9 +319,9 @@ class GenoRunner:
             flush_pending(force=True)
             pump(force=True)
 
-        for batch in iter_read_batches(fastq_path, B, cfg.max_read_len,
-                                       cfg.max_kmers_per_read,
-                                       skip_reads=skip):
+        for batch in prefetch(iter_read_batches(
+                fastq_path, B, cfg.max_read_len, cfg.max_kmers_per_read,
+                skip_reads=skip)):
             dispatch(batch.codes, batch.n_kmers, batch.qual, batch.n_valid,
                      (batch.codes, batch.n_kmers, batch.qual,
                       batch.n_valid))

@@ -70,3 +70,32 @@ def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
                 fill = 0
     if fill:
         yield ReadBatch(codes.copy(), n_kmers.copy(), qual.copy(), fill)
+
+
+def prefetch(it, depth: int = 2):
+    """Run an iterator on a background thread with a bounded queue, so
+    batch parsing/encoding overlaps device compute instead of serializing
+    into the dispatch loop. Exceptions propagate to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - repropagated below
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

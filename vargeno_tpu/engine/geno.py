@@ -230,7 +230,12 @@ class GenoRunner:
 
     def _consume_queued(self, fastq_path, skip, limit_batches,
                         checkpoint_path, checkpoint_every):
+        import os
         from collections import deque
+
+        from ..utils.profiling import StageTimer
+
+        st = StageTimer(sync=False) if os.environ.get("VGT_TIMING") else None
 
         cfg = self.config
         B = cfg.batch_reads
@@ -255,13 +260,21 @@ class GenoRunner:
             inflight.append(p)
 
         def pump(force=False):
+            import contextlib
+
             while inflight and (force or len(inflight) > 1):
                 p = inflight.popleft()
-                process, read_ok = self._finalize_batch(p)
+                with (st.stage("finalize_wait") if st
+                      else contextlib.nullcontext()):
+                    process, read_ok = self._finalize_batch(p)
+                    if p["host"] is not None:
+                        process = np.asarray(process)
+                        read_ok = np.asarray(read_ok)
                 self.meter.bump(p["count"])
                 if p["host"] is not None:
-                    enqueue_failures(*p["host"], np.asarray(process),
-                                     np.asarray(read_ok))
+                    with (st.stage("enqueue_retry") if st
+                          else contextlib.nullcontext()):
+                        enqueue_failures(*p["host"], process, read_ok)
 
         def enqueue_failures(codes, nk, qual, n_valid, process, read_ok):
             nonlocal pend_n
@@ -319,12 +332,23 @@ class GenoRunner:
             flush_pending(force=True)
             pump(force=True)
 
-        for batch in prefetch(iter_read_batches(
-                fastq_path, B, cfg.max_read_len, cfg.max_kmers_per_read,
-                skip_reads=skip)):
-            dispatch(batch.codes, batch.n_kmers, batch.qual, batch.n_valid,
-                     (batch.codes, batch.n_kmers, batch.qual,
-                      batch.n_valid))
+        import contextlib
+
+        it = iter(prefetch(iter_read_batches(
+            fastq_path, B, cfg.max_read_len, cfg.max_kmers_per_read,
+            skip_reads=skip)))
+        while True:
+            with (st.stage("read_batch") if st
+                  else contextlib.nullcontext()):
+                batch = next(it, None)
+            if batch is None:
+                break
+            with (st.stage("dispatch") if st
+                  else contextlib.nullcontext()):
+                dispatch(batch.codes, batch.n_kmers, batch.qual,
+                         batch.n_valid,
+                         (batch.codes, batch.n_kmers, batch.qual,
+                          batch.n_valid))
             pump()
             flush_pending()
             if checkpoint_path and nb % checkpoint_every == 0:
@@ -336,6 +360,10 @@ class GenoRunner:
             if limit_batches and nb >= limit_batches:
                 break
         drain()
+        if st:
+            import sys
+
+            print(st.report(), file=sys.stderr)
         return nb
 
     def calls(self):

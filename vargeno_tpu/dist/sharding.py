@@ -104,20 +104,24 @@ class ShardedGenoRunner:
         return self.D * self.config.batch_reads
 
     def _bump(self, stats):
-        for k, v in stats.items():
+        # one packed transfer for all stat scalars (not one RTT each)
+        keys = sorted(stats)
+        vals = np.asarray(jnp.stack([jnp.asarray(stats[k], jnp.int32)
+                                     for k in keys])).tolist()
+        for k, v in zip(keys, vals):
             self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
 
     def consume_fastq(self, fastq_path: str,
                       limit_batches: Optional[int] = None) -> None:
-        from ..io.fastq import iter_read_batches
+        from ..io.fastq import iter_read_batches, prefetch
 
         cfg = self.config
         nb = 0
         shard = self._shardings["codes"]
         pending = None   # one-behind stats sync keeps the host feeding
-        for batch in iter_read_batches(fastq_path, self.global_batch(),
-                                       cfg.max_read_len,
-                                       cfg.max_kmers_per_read):
+        for batch in prefetch(iter_read_batches(
+                fastq_path, self.global_batch(), cfg.max_read_len,
+                cfg.max_kmers_per_read)):
             codes = jax.device_put(batch.codes, shard)
             nk = jax.device_put(batch.n_kmers, shard)
             qual = jax.device_put(batch.qual, shard)

@@ -223,8 +223,12 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         usable = p_valid & (p_pos != _POS_AMBIG)
         unamb = p_flag == 0
 
-        aux_row = jnp.minimum(p_pos, U32(dix.ref_aux.shape[0] - 1))
-        aux_row_s = jnp.minimum(p_pos, U32(dix.snp_aux_pos.shape[0] - 1))
+        # aux rows are only read for ambiguous hits (a few percent);
+        # coalesce the rest onto row 0 so their gathers share one line
+        need_aux = usable & ~unamb
+        aux_p = jnp.where(need_aux, p_pos, U32(0))
+        aux_row = jnp.minimum(aux_p, U32(dix.ref_aux.shape[0] - 1))
+        aux_row_s = jnp.minimum(aux_p, U32(dix.snp_aux_pos.shape[0] - 1))
         aux_pos = jnp.where(
             p_is_ref[..., None],
             take(dix.ref_aux, aux_row.astype(I32)),
@@ -236,7 +240,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         col_valid = jnp.where(unamb[..., None], col0, aux_pos != 0)
 
         diff_u = p_diff.astype(U32)
-        site_pos_chk = kpos + diff_u[..., None]
+        live = usable[..., None] & col_valid
+        site_pos_chk = jnp.where(live, kpos + diff_u[..., None], U32(0))
         is_site = search.bitmap_test(dix.site_bitmap, site_pos_chk)
         snp_off = ((jnp.where(unamb[..., None] & col0,
                               p_info[..., None], aux_snp) >> 3)

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Capture a jax.profiler device trace of the batch step for op-level
+attribution (the host-side ablations disagree at the ~10 ms level, so
+kernel-level data decides what to optimize next).
+
+Usage:  python tools/trace_step.py [out_dir] [batch_reads]
+Then:   inspect <out_dir>/plugins/profile/*/  (trace.json.gz is Perfetto-
+        compatible; tools/summarize_trace.py prints top ops).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from vargeno_tpu.config import GenoConfig
+from vargeno_tpu.engine.batch import make_batch_processor
+from vargeno_tpu.engine.device_index import build_device_index
+from vargeno_tpu.index import store
+from vargeno_tpu.io.fastq import iter_read_batches
+
+CACHE = os.environ.get("VGT_CACHE", "/tmp/vgt_bench48")
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vgt_trace"
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
+    index = store.load(os.path.join(CACHE, "bench"))
+    cfg = GenoConfig(batch_reads=B, max_read_len=128, max_kmers_per_read=4,
+                     pallas_vote=True)
+    dix = build_device_index(index)
+    proc = make_batch_processor(dix, cfg)
+    b = next(iter_read_batches(os.path.join(CACHE, "reads.fq"), B, 128, 4))
+    codes = jnp.asarray(b.codes)
+    nk = jnp.asarray(b.n_kmers)
+    qual = jnp.asarray(b.qual)
+    n = dix.n_sites
+
+    def run():
+        rc = jnp.zeros(n + 1, jnp.int32)
+        ac = jnp.zeros(n + 1, jnp.int32)
+        return proc.single(codes, nk, qual, rc, ac)[0]
+
+    jax.block_until_ready(run())  # compile outside the trace
+    t0 = time.time()
+    jax.block_until_ready(run())
+    print(f"single step: {(time.time()-t0)*1e3:.1f} ms")
+    jax.profiler.start_trace(out)
+    for _ in range(3):
+        r = run()
+    jax.block_until_ready(r)
+    jax.profiler.stop_trace()
+    print(f"trace written to {out}")
+
+
+if __name__ == "__main__":
+    main()

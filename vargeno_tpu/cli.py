@@ -32,6 +32,15 @@ def _add_engine_flags(p):
     g.add_argument("--scan-slot-cap", type=int, default=None)
     g.add_argument("--auto-retry-max", type=int, default=None,
                    help="max per-batch cap-doubling rounds (0 disables)")
+    h = p.add_argument_group("host dispatch pipeline")
+    h.add_argument("--group-size", type=int, default=None,
+                   help="sub-batches scanned per device dispatch "
+                        "(amortizes dispatch-link latency)")
+    h.add_argument("--pipeline-depth", type=int, default=None,
+                   help="in-flight dispatches kept by the host loop")
+    h.add_argument("--no-pre-encode", action="store_true",
+                   help="ship raw base codes instead of host-packed "
+                        "kmer words")
 
 
 def _config(args):
@@ -46,10 +55,13 @@ def _config(args):
                   replicate_stride_bug=not args.no_stride_bug)
         for f in ("events_per_read", "candidates_per_read",
                   "neighbor_item_frac", "probe_hit_cap", "agree_cap",
-                  "scan_slot_cap", "auto_retry_max"):
+                  "scan_slot_cap", "auto_retry_max", "group_size",
+                  "pipeline_depth"):
             v = getattr(args, f, None)
             if v is not None:
                 kw[f] = v
+        if getattr(args, "no_pre_encode", False):
+            kw["pre_encode"] = False
     return GenoConfig(**kw)
 
 

@@ -85,6 +85,21 @@ class GenoConfig:
                                    # from the reference on overflow)
     pallas_vote: bool = False      # VMEM-resident vote kernel (TPU only)
     pallas_interpret: bool = False  # run Pallas kernels interpreted (CPU)
+    pre_encode: bool = True        # host-side kmer packing in queued mode:
+                                   # dispatch ships (hi, lo) u32 words +
+                                   # masks (~1.3 MB/32K batch) instead of
+                                   # (B, L) u8 codes (~4.2 MB) -- matters on
+                                   # tunneled/high-latency dispatch links
+    pipeline_depth: int = 2        # in-flight device batches in the host
+                                   # dispatch loop (1 = classic double
+                                   # buffering; deeper hides dispatch-link
+                                   # latency at the cost of delayed retry
+                                   # queueing -- results are identical)
+    group_size: int = 1            # sub-batches scanned per device dispatch
+                                   # (queued + pre_encode mode): one host
+                                   # round trip / stats sync per GROUP --
+                                   # the lever for high-latency (tunneled)
+                                   # dispatch links; results are identical
 
     # --- distribution ---
     data_axis: str = "data"

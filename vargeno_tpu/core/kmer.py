@@ -154,3 +154,25 @@ def np_revcomp_u64(kmers: np.ndarray) -> np.ndarray:
         base = (x >> np.uint64(2 * i)) & np.uint64(3)
         out |= (np.uint64(3) - base) << np.uint64(2 * (31 - i))
     return out
+
+
+def np_encode_batch(codes: np.ndarray, n_kmers: np.ndarray, K: int):
+    """numpy mirror of the device batch encode (engine/batch.py
+    encode_batch; reference read-encoding semantics src/qv.cc:810-828).
+
+    Returns (hi, lo) (B, K) uint32, kmer_valid (B, K) bool, read_ok (B,)
+    bool. Fallback for native.encode_batch."""
+    B = codes.shape[0]
+    win = codes[:, : K * 32].reshape(B, K, 32).astype(np.uint32)
+    good = win <= 3
+    shifts = (np.arange(16, dtype=np.uint32) * 2)
+    lo = np.sum(np.where(good[..., :16], win[..., :16], 0) << shifts,
+                axis=-1, dtype=np.uint64).astype(np.uint32)
+    hi = np.sum(np.where(good[..., 16:], win[..., 16:], 0) << shifts,
+                axis=-1, dtype=np.uint64).astype(np.uint32)
+    slot = np.arange(K)[None, :]
+    in_read = slot < np.minimum(n_kmers, K)[:, None]
+    win_bad = ~good.all(axis=-1)
+    read_ok = ~(win_bad & in_read).any(axis=-1)
+    kmer_valid = in_read & read_ok[:, None]
+    return hi, lo, kmer_valid, read_ok

@@ -253,9 +253,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
-    def orientation_pass(dix, be, codes, n_kmers, qual):
+    def orientation_pass(dix, be, enc, qual):
         B, K, E, C, NI, H = sh.B, sh.K, sh.E, sh.C, sh.NI, sh.H
-        hi, lo, kmer_valid, read_ok = encode_batch(codes, n_kmers, K)
+        hi, lo, kmer_valid, read_ok = enc
 
         r_hit, r_pos, r_flag = be.exact_ref(hi, lo, kmer_valid)
         s_hit, s_pos, s_info, s_flag = be.exact_snp(hi, lo, kmer_valid)
@@ -652,7 +652,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
     def step(dix_t, codes, n_kmers, qual, ref_cnt, alt_cnt):
         B, K = sh.B, sh.K
         be = backend_factory(dix_t)
-        fwd = orientation_pass(dix_t, be, codes, n_kmers, qual)
+        fwd = orientation_pass(dix_t, be,
+                               encode_batch(codes, n_kmers, K), qual)
 
         # reverse-complement retry for unprocessed reads (qv.cc:1504-1510)
         length = (n_kmers * 32).astype(jnp.int32)
@@ -663,7 +664,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                                 axis=1)
         rc = jnp.where(g < 4, 3 - g, g)
         rc_codes = jnp.where(rvalid, rc, jnp.uint8(4)).astype(jnp.uint8)
-        rev = orientation_pass(dix_t, be, rc_codes, n_kmers, qual)
+        rev = orientation_pass(dix_t, be,
+                               encode_batch(rc_codes, n_kmers, K), qual)
 
         use_fwd = fwd["process"]
         use_rev = ~fwd["process"] & fwd["read_ok"] & rev["process"]
@@ -702,7 +704,20 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         qv.cc:1504-1510). Reverse batches are fed as pre-complemented codes.
         """
         be = backend_factory(dix_t)
-        res = orientation_pass(dix_t, be, codes, n_kmers, qual)
+        res = orientation_pass(
+            dix_t, be, encode_batch(codes, n_kmers, sh.K), qual)
+        return _finish_single(dix_t, be, res, ref_cnt, alt_cnt)
+
+    def step_single_enc(dix_t, hi, lo, kvalid, read_ok, qual, ref_cnt,
+                        alt_cnt):
+        """Pre-encoded variant of step_single: the host ships packed
+        (hi, lo) kmer words + validity (native.encode_batch) instead of
+        (B, L) base codes -- ~3.6x less transfer per dispatch."""
+        be = backend_factory(dix_t)
+        res = orientation_pass(dix_t, be, (hi, lo, kvalid, read_ok), qual)
+        return _finish_single(dix_t, be, res, ref_cnt, alt_cnt)
+
+    def _finish_single(dix_t, be, res, ref_cnt, alt_cnt):
         ref_cnt, alt_cnt, aovf = pileup_accumulate(
             dix_t, res["buf"], res["process"], res["target"], ref_cnt,
             alt_cnt)
@@ -717,8 +732,30 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
             stats["sparse_overflow"] = sovf
         return (ref_cnt, alt_cnt, res["process"], res["read_ok"], stats)
 
+    def step_multi_enc(dix_t, hi, lo, kvalid, read_ok, qual, ref_cnt,
+                       alt_cnt):
+        """Grouped dispatch: scan G pre-encoded sub-batches inside ONE
+        jitted call, so a high-latency dispatch link pays one round trip
+        (args transfer, program launch, stats readback) per G batches
+        instead of per batch. Inputs are (G, B, ...) stacks; counts
+        accumulate across the scan exactly as G sequential steps would."""
+
+        def body(carry, x):
+            rc, ac = carry
+            h, l, kv, rok, q = x
+            rc, ac, process, rok2, stats = step_single_enc(
+                dix_t, h, l, kv, rok, q, rc, ac)
+            return (rc, ac), (process, rok2, stats)
+
+        (rc, ac), (proc, rok_o, stats) = jax.lax.scan(
+            body, (ref_cnt, alt_cnt), (hi, lo, kvalid, read_ok, qual))
+        stats = {k: jnp.sum(v) for k, v in stats.items()}
+        return rc, ac, proc, rok_o, stats
+
     jitted = jax.jit(step, donate_argnums=(4, 5))
     jitted_single = jax.jit(step_single, donate_argnums=(4, 5))
+    jitted_single_enc = jax.jit(step_single_enc, donate_argnums=(6, 7))
+    jitted_multi_enc = jax.jit(step_multi_enc, donate_argnums=(6, 7))
 
     def run(codes, n_kmers, qual, ref_cnt, alt_cnt):
         return jitted(host_dix, codes, n_kmers, qual, ref_cnt, alt_cnt)
@@ -727,8 +764,18 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         return jitted_single(host_dix, codes, n_kmers, qual, ref_cnt,
                              alt_cnt)
 
+    def run_single_enc(hi, lo, kvalid, read_ok, qual, ref_cnt, alt_cnt):
+        return jitted_single_enc(host_dix, hi, lo, kvalid, read_ok, qual,
+                                 ref_cnt, alt_cnt)
+
+    def run_multi_enc(hi, lo, kvalid, read_ok, qual, ref_cnt, alt_cnt):
+        return jitted_multi_enc(host_dix, hi, lo, kvalid, read_ok, qual,
+                                ref_cnt, alt_cnt)
+
     run.raw = step          # unjitted (dix, codes, ...) for shard_map use
     run.single = run_single
+    run.single_enc = run_single_enc
+    run.multi_enc = run_multi_enc
     run.raw_single = step_single
     run.shapes = sh
     return run

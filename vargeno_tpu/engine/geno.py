@@ -109,25 +109,32 @@ class GenoRunner:
     def _merge(trc, tac, rc, ac):
         return _merge_counts(trc, tac, rc, ac)
 
-    def _dispatch_batch(self, codes, nk, qual, single: bool) -> dict:
+    def _dispatch_batch(self, codes, nk, qual, single: bool,
+                        enc=None) -> dict:
         """Dispatch one batch into FRESH accumulators; returns the in-flight
         handle (device futures, nothing synced). Merging into the totals and
-        the overflow check happen in _finalize_batch -- callers keep one
-        batch in flight so the host prepares batch i+1 while the device
-        runs batch i."""
-        codes = jnp.asarray(codes)
-        nk = jnp.asarray(nk)
-        qual = jnp.asarray(qual)
+        the overflow check happen in _finalize_batch -- callers keep batches
+        in flight (config.pipeline_depth) so the host prepares the next
+        batches while the device runs this one. ``enc`` is an optional
+        host-pre-encoded (hi, lo, kmer_valid, read_ok) tuple; when given,
+        the packed words are shipped instead of the base codes."""
         n = self.dix.n_sites
         proc = self._proc(self._cfg_run)
         self.step = proc
         z = jnp.zeros(n + 1, jnp.int32)
         z2 = jnp.zeros(n + 1, jnp.int32)
-        if single:
+        if enc is not None:
+            assert single
+            hi, lo, kv, rok = (jnp.asarray(a) for a in enc)
+            rc, ac, process, read_ok, stats = proc.single_enc(
+                hi, lo, kv, rok, jnp.asarray(qual), z, z2)
+        elif single:
             rc, ac, process, read_ok, stats = proc.single(
-                codes, nk, qual, z, z2)
+                jnp.asarray(codes), jnp.asarray(nk), jnp.asarray(qual),
+                z, z2)
         else:
-            rc, ac, stats = proc(codes, nk, qual, z, z2)
+            rc, ac, stats = proc(jnp.asarray(codes), jnp.asarray(nk),
+                                 jnp.asarray(qual), z, z2)
             process = read_ok = None
         # pack the ~16 stat scalars into ONE device buffer: fetching them
         # individually costs a device->host round trip each, which is the
@@ -136,7 +143,31 @@ class GenoRunner:
         svec = _pack_stats([stats[k] for k in keys])
         return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
                     stats_keys=keys, stats_vec=svec,
-                    args=(codes, nk, qual), single=single,
+                    redo=lambda: self._dispatch_batch(codes, nk, qual,
+                                                      single, enc=enc),
+                    rounds=0)
+
+    def _dispatch_group(self, encs, quals) -> dict:
+        """Dispatch a group of G pre-encoded sub-batches as ONE scanned
+        device call (engine.batch step_multi_enc): one transfer, one launch,
+        one packed stats readback for the whole group."""
+        n = self.dix.n_sites
+        proc = self._proc(self._cfg_run)
+        self.step = proc
+        hi = jnp.asarray(np.stack([e[0] for e in encs]))
+        lo = jnp.asarray(np.stack([e[1] for e in encs]))
+        kv = jnp.asarray(np.stack([e[2] for e in encs]))
+        rok = jnp.asarray(np.stack([e[3] for e in encs]))
+        qual = jnp.asarray(np.stack(quals))
+        z = jnp.zeros(n + 1, jnp.int32)
+        z2 = jnp.zeros(n + 1, jnp.int32)
+        rc, ac, process, read_ok, stats = proc.multi_enc(
+            hi, lo, kv, rok, qual, z, z2)
+        keys = tuple(sorted(stats))
+        svec = _pack_stats([stats[k] for k in keys])
+        return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
+                    stats_keys=keys, stats_vec=svec,
+                    redo=lambda: self._dispatch_group(encs, quals),
                     rounds=0)
 
     def _finalize_batch(self, p: dict):
@@ -156,7 +187,7 @@ class GenoRunner:
                 break
             self._cfg_run = new_cfg
             rounds = p["rounds"] + 1
-            p = self._dispatch_batch(*p["args"], p["single"])
+            p = p["redo"]()
             p["rounds"] = rounds
         self.ref_cnt, self.alt_cnt = self._merge(
             self.ref_cnt, self.alt_cnt, p["rc"], p["ac"])
@@ -239,12 +270,30 @@ class GenoRunner:
 
         cfg = self.config
         B = cfg.batch_reads
+        depth = max(1, cfg.pipeline_depth)
         pend_codes = []
         pend_nk = []
         pend_qual = []
         pend_n = 0
         nb = 0
-        inflight: deque = deque()   # one-deep dispatch pipeline
+        inflight: deque = deque()   # depth-deep dispatch pipeline
+
+        if cfg.pre_encode:
+            from .. import native
+
+            if native.available():
+                encode = lambda c, k: native.encode_batch(
+                    c, k, cfg.max_kmers_per_read)
+            else:
+                from ..core.kmer import np_encode_batch
+
+                encode = lambda c, k: np_encode_batch(
+                    c, k, cfg.max_kmers_per_read)
+        else:
+            encode = None
+
+        G = max(1, cfg.group_size) if encode is not None else 1
+        stage_buf: list = []   # staged (enc, qual, count, host) sub-batches
 
         def dispatch(codes, nk, qual, count_reads, host):
             """host = (codes, nk, qual, n_valid) for forward batches whose
@@ -252,29 +301,63 @@ class GenoRunner:
             retry batches themselves (the reference tries exactly two
             orientations, qv.cc:1504-1510)."""
             nonlocal nb
-            p = self._dispatch_batch(codes, nk, qual, single=True)
-            p["count"] = count_reads
-            p["host"] = host
             self.n_reads += count_reads
             nb += 1
-            inflight.append(p)
+            if encode is None:
+                p = self._dispatch_batch(codes, nk, qual, single=True)
+                p["count"] = count_reads
+                p["hosts"] = [host]
+                inflight.append(p)
+                return
+            enc = encode(codes, nk)
+            stage_buf.append((enc, qual, count_reads, host))
+            if len(stage_buf) >= G:
+                flush_stage()
+
+        def flush_stage(force=False):
+            """Dispatch staged sub-batches: full groups as one scanned call;
+            on force, leftovers go as single-enc dispatches."""
+            while len(stage_buf) >= G and G > 1:
+                grp, del_n = stage_buf[:G], G
+                del stage_buf[:del_n]
+                p = self._dispatch_group([g[0] for g in grp],
+                                         [g[1] for g in grp])
+                p["count"] = sum(g[2] for g in grp)
+                p["hosts"] = [g[3] for g in grp]
+                inflight.append(p)
+            while stage_buf and (force or G == 1):
+                enc, qual, count, host = stage_buf.pop(0)
+                p = self._dispatch_batch(None, None, qual, single=True,
+                                         enc=enc)
+                p["count"] = count
+                p["hosts"] = [host]
+                inflight.append(p)
 
         def pump(force=False):
             import contextlib
 
-            while inflight and (force or len(inflight) > 1):
+            while inflight and (force or len(inflight) > depth):
                 p = inflight.popleft()
                 with (st.stage("finalize_wait") if st
                       else contextlib.nullcontext()):
                     process, read_ok = self._finalize_batch(p)
-                    if p["host"] is not None:
+                    if any(h is not None for h in p["hosts"]):
                         process = np.asarray(process)
                         read_ok = np.asarray(read_ok)
                 self.meter.bump(p["count"])
-                if p["host"] is not None:
+                hosts = p["hosts"]
+                if any(h is not None for h in hosts):
                     with (st.stage("enqueue_retry") if st
                           else contextlib.nullcontext()):
-                        enqueue_failures(*p["host"], process, read_ok)
+                        if len(hosts) == 1:
+                            if hosts[0] is not None:
+                                enqueue_failures(*hosts[0], process,
+                                                 read_ok)
+                        else:
+                            for g, h in enumerate(hosts):
+                                if h is not None:
+                                    enqueue_failures(*h, process[g],
+                                                     read_ok[g])
 
         def enqueue_failures(codes, nk, qual, n_valid, process, read_ok):
             nonlocal pend_n
@@ -326,10 +409,12 @@ class GenoRunner:
                 pump()
 
         def drain():
-            # finalize everything in flight, then run the retry queue to
-            # empty (finalizing a retry batch never enqueues more work)
+            # finalize everything staged + in flight, then run the retry
+            # queue to empty (finalizing a retry batch never enqueues more)
+            flush_stage(force=True)
             pump(force=True)
             flush_pending(force=True)
+            flush_stage(force=True)
             pump(force=True)
 
         import contextlib

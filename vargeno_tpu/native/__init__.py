@@ -54,6 +54,15 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.vgt_encode_batch.restype = None
+        lib.vgt_encode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8)]
         lib.vgt_rolling_kmers.restype = ctypes.c_int64
         lib.vgt_rolling_kmers.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -118,6 +127,31 @@ def fastq_batches(path: str, batch: int, L: int, K: int):
             n_kmers[got:] = 0
             qual[got:] = 0
         yield codes, n_kmers, qual, int(got)
+
+
+def encode_batch(codes: np.ndarray, n_kmers: np.ndarray, K: int):
+    """(B, L) u8 codes -> (hi, lo) (B, K) u32 kmer words + kmer validity +
+    read_ok, bit-identical to the device encode (engine/batch.py
+    encode_batch). Used to pre-encode batches on host so dispatch ships
+    ~1 MB of packed words instead of ~4 MB of base codes."""
+    lib = _load()
+    assert lib is not None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n_kmers = np.ascontiguousarray(n_kmers, np.int32)
+    B, L = codes.shape
+    hi = np.empty((B, K), np.uint32)
+    lo = np.empty((B, K), np.uint32)
+    kvalid = np.empty((B, K), np.uint8)
+    read_ok = np.empty(B, np.uint8)
+    lib.vgt_encode_batch(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        B, L, K,
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        kvalid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        read_ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return hi, lo, kvalid.astype(bool), read_ok.astype(bool)
 
 
 def bf_mod_set(words: np.ndarray, hashes: np.ndarray, mod: int) -> None:

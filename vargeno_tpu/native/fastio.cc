@@ -89,6 +89,47 @@ int64_t vgt_fastq_batch(const char* buf, int64_t len, int64_t* cursor,
   return filled;
 }
 
+// Batch k-mer pre-encoder: (B, L) uint8 base codes -> per-slot kmer words
+// (hi, lo) plus validity, exactly mirroring the device-side encode
+// (engine/batch.py encode_batch; reference semantics src/qv.cc:810-828:
+// a non-ACGT base anywhere in the read's in-use windows drops the whole
+// read in that orientation). Shipping the packed words instead of raw
+// codes cuts per-batch host->device transfer ~3.6x, which matters on a
+// tunneled/high-latency dispatch link.
+void vgt_encode_batch(const uint8_t* codes, const int32_t* n_kmers,
+                      int64_t B, int64_t L, int64_t K,
+                      uint32_t* hi, uint32_t* lo, uint8_t* kvalid,
+                      uint8_t* read_ok) {
+  for (int64_t b = 0; b < B; ++b) {
+    const uint8_t* row = codes + b * L;
+    int nk = n_kmers[b];
+    if (nk > K) nk = (int)K;
+    int ok = 1;
+    for (int64_t k = 0; k < K; ++k) {
+      const uint8_t* w = row + k * 32;
+      uint32_t l = 0, h = 0;
+      int bad = 0;
+      for (int i = 0; i < 16; ++i) {
+        uint8_t c = w[i];
+        bad |= (c > 3);
+        l |= (uint32_t)(c > 3 ? 0 : c) << (2 * i);
+      }
+      for (int i = 0; i < 16; ++i) {
+        uint8_t c = w[16 + i];
+        bad |= (c > 3);
+        h |= (uint32_t)(c > 3 ? 0 : c) << (2 * i);
+      }
+      hi[b * K + k] = h;
+      lo[b * K + k] = l;
+      if (bad && k < nk) ok = 0;
+      kvalid[b * K + k] = (k < nk);
+    }
+    read_ok[b] = (uint8_t)ok;
+    if (!ok)
+      for (int64_t k = 0; k < K; ++k) kvalid[b * K + k] = 0;
+  }
+}
+
 // Rolling 32-mer extraction for index build: writes one uint64 per window
 // and a validity byte (window free of non-ACGT). codes: n uint8.
 // Returns number of windows (n-31) or 0.

@@ -116,20 +116,18 @@ def partition_index(index: VarGenoIndex, D: int):
                                              REF_TAIL, 0xFFFFFFFF, nr)
     stacked["ref_lo"], _ = shard_stack(base.ref_lo, ref_rows, REF_TAIL,
                                        0xFFFFFFFF, nr)
-    stacked["ref_pos"], _ = shard_stack(base.ref_pos, ref_rows, REF_TAIL,
-                                        0xFFFFFFFF, nr)
-    stacked["ref_flag"], _ = shard_stack(base.ref_flag, ref_rows, REF_TAIL,
-                                         1, nr)
+    # meta pad rows read as [POS_AMBIGUOUS, flag=0xFF]: unambiguous-looking
+    # pads are impossible (same defensive fill as the old pos/flag arrays)
+    stacked["ref_meta"], _ = shard_stack(base.ref_meta, ref_rows, REF_TAIL,
+                                         0xFFFFFFFF, nr)
     stacked["snp_hi"], snp_tot = shard_stack(base.snp_hi, snp_rows,
                                              SNP_TAIL, 0xFFFFFFFF, ns)
     stacked["snp_lo"], _ = shard_stack(base.snp_lo, snp_rows, SNP_TAIL,
                                        0xFFFFFFFF, ns)
-    stacked["snp_pos"], _ = shard_stack(base.snp_pos, snp_rows, SNP_TAIL,
-                                        0xFFFFFFFF, ns)
-    stacked["snp_info"], _ = shard_stack(base.snp_info, snp_rows, SNP_TAIL,
-                                         0, ns)
-    stacked["snp_flag"], _ = shard_stack(base.snp_flag, snp_rows, SNP_TAIL,
-                                         1, ns)
+    stacked["snp_meta"], _ = shard_stack(base.snp_meta, snp_rows, SNP_TAIL,
+                                         0xFFFFFFFF, ns)
+    stacked["snp_test"], _ = shard_stack(base.snp_test, snp_rows, SNP_TAIL,
+                                         0xFFFFFFFF, ns)
 
     plan = ShardPlan(ref_bounds_hi=jnp.asarray(ref_firsts),
                      snp_bounds_hi24=jnp.asarray(snp_firsts24))
@@ -273,17 +271,18 @@ class RoutedBackend:
 
     # --- exact queries ---
 
-    def _local_exact(self, keys_hi, keys_lo, pos, flag, info, owned,
+    def _local_exact(self, keys_hi, keys_lo, meta, with_info, owned,
                      q_hi, q_lo):
         i = search.lower_bound(keys_hi, keys_lo, q_hi, q_lo)
         n_pad = keys_hi.shape[0]
         ic = jnp.minimum(i, n_pad - 1)
         hit = (keys_hi[ic] == q_hi) & (keys_lo[ic] == q_lo) & (i < owned)
-        p = jnp.take(pos, ic, axis=0, mode="clip")
-        f = jnp.take(flag, ic, axis=0, mode="clip")
-        if info is None:
+        m = jnp.take(meta, ic, axis=0, mode="clip")
+        p = m[..., 0]
+        f = (m[..., 1] & U32(0xFF)).astype(jnp.uint8)
+        if not with_info:
             return hit, p, f
-        return hit, p, f, jnp.take(info, ic, axis=0, mode="clip")
+        return hit, p, f, ((m[..., 1] >> 8) & U32(0xFF)).astype(jnp.uint8)
 
     def exact_ref(self, q_hi, q_lo, valid=None):
         shp = q_hi.shape
@@ -293,9 +292,8 @@ class RoutedBackend:
              else valid.reshape(-1))
 
         def ans(qh, ql):
-            return self._local_exact(d.ref_hi, d.ref_lo, d.ref_pos,
-                                     d.ref_flag, None, a.my_ref_owned[0],
-                                     qh, ql)
+            return self._local_exact(d.ref_hi, d.ref_lo, d.ref_meta,
+                                     False, a.my_ref_owned[0], qh, ql)
 
         (hit, pos, flag), _ = self._route(
             self._ref_owner(q_hi.reshape(-1)), v,
@@ -310,9 +308,8 @@ class RoutedBackend:
              else valid.reshape(-1))
 
         def ans(qh, ql):
-            return self._local_exact(d.snp_hi, d.snp_lo, d.snp_pos,
-                                     d.snp_flag, d.snp_info,
-                                     a.my_snp_owned[0], qh, ql)
+            return self._local_exact(d.snp_hi, d.snp_lo, d.snp_meta,
+                                     True, a.my_snp_owned[0], qh, ql)
 
         (hit, pos, flag, info), _ = self._route(
             self._snp_owner(q_hi.reshape(-1)), v,
@@ -415,14 +412,12 @@ class ShardedDictGenoRunner:
         shard_dix = DeviceIndex(
             ref_hi=jax.device_put(stacked["ref_hi"], dsh),
             ref_lo=jax.device_put(stacked["ref_lo"], dsh),
-            ref_pos=jax.device_put(stacked["ref_pos"], dsh),
-            ref_flag=jax.device_put(stacked["ref_flag"], dsh),
+            ref_meta=jax.device_put(stacked["ref_meta"], dsh),
             ref_aux=jax.device_put(base.ref_aux, rsh),
             snp_hi=jax.device_put(stacked["snp_hi"], dsh),
             snp_lo=jax.device_put(stacked["snp_lo"], dsh),
-            snp_pos=jax.device_put(stacked["snp_pos"], dsh),
-            snp_info=jax.device_put(stacked["snp_info"], dsh),
-            snp_flag=jax.device_put(stacked["snp_flag"], dsh),
+            snp_meta=jax.device_put(stacked["snp_meta"], dsh),
+            snp_test=jax.device_put(stacked["snp_test"], dsh),
             snp_aux_pos=jax.device_put(base.snp_aux_pos, rsh),
             snp_aux_snp=jax.device_put(base.snp_aux_snp, rsh),
             ref_bf=jax.device_put(base.ref_bf, rsh),
@@ -478,10 +473,9 @@ class ShardedDictGenoRunner:
             dx = arg_l.dix
             strip = dict(
                 ref_hi=dx.ref_hi[0], ref_lo=dx.ref_lo[0],
-                ref_pos=dx.ref_pos[0], ref_flag=dx.ref_flag[0],
+                ref_meta=dx.ref_meta[0],
                 snp_hi=dx.snp_hi[0], snp_lo=dx.snp_lo[0],
-                snp_pos=dx.snp_pos[0], snp_info=dx.snp_info[0],
-                snp_flag=dx.snp_flag[0])
+                snp_meta=dx.snp_meta[0], snp_test=dx.snp_test[0])
             dx2 = dataclasses.replace(dx, **strip)
             return dataclasses.replace(
                 arg_l, dix=dx2,
@@ -503,10 +497,10 @@ class ShardedDictGenoRunner:
 
             shard_specs = ShardedIndexArg(
                 dix=DeviceIndex(
-                    ref_hi=P(axis), ref_lo=P(axis), ref_pos=P(axis),
-                    ref_flag=P(axis), ref_aux=none,
-                    snp_hi=P(axis), snp_lo=P(axis), snp_pos=P(axis),
-                    snp_info=P(axis), snp_flag=P(axis),
+                    ref_hi=P(axis), ref_lo=P(axis), ref_meta=P(axis),
+                    ref_aux=none,
+                    snp_hi=P(axis), snp_lo=P(axis), snp_meta=P(axis),
+                    snp_test=P(axis),
                     snp_aux_pos=none, snp_aux_snp=none,
                     ref_bf=none, snp_bf=none,
                     site_pos=none, site_ref=none, site_alt=none,

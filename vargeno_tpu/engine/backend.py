@@ -68,6 +68,7 @@ class LocalBackend:
         self.snp_scan_slots = max(1, min(self.scan_slots,
                                          getattr(dix, "snp_scan_max", 1 << 30)))
         self.sparse_frac = sparse_frac
+        self._bounds_memo: dict = {}
 
     # --- exact queries (one bucket-row gather per probe; hashtable.py) ---
 
@@ -151,7 +152,20 @@ class LocalBackend:
         ref_hi (reshaped (n/32, 32) for free -- rows padded to a 32
         multiple at build) then resolves the exact hi32 sub-block with
         vector compares: same HBM bytes as one bucket probe, no 4.3 GB
-        block-directory table."""
+        block-directory table.
+
+        Memoized per traced query array: within one step the same items'
+        bounds are needed by both ref_block_size and ref_scan, and the
+        window gather is the scan path's largest -- computing it once
+        halves that traffic."""
+        memo = self._bounds_memo.get(id(q_hi))
+        if memo is not None and memo[0] is q_hi:
+            return memo[1]
+        r = self._ref_block_bounds_impl(q_hi)
+        self._bounds_memo[id(q_hi)] = (q_hi, r)
+        return r
+
+    def _ref_block_bounds_impl(self, q_hi):
         d = self.dix
         h24 = (q_hi >> U32(8)).astype(I32)
         a = d.ref_jg[h24].astype(I32)
@@ -217,10 +231,11 @@ class LocalBackend:
         act = active[:, None] & (j < bsize[:, None])
         hit = act & ok
         mr = jnp.minimum(meta_row, d.ref_hi.shape[0] - 1)
+        meta = jnp.take(d.ref_meta, mr, axis=0, mode="clip")  # (NI, S, 2)
         return ScanResult(
             hit=hit,
-            pos=jnp.take(d.ref_pos, mr, axis=0, mode="clip"),
-            flag=jnp.take(d.ref_flag, mr, axis=0, mode="clip"),
+            pos=meta[..., 0],
+            flag=(meta[..., 1] & U32(0xFF)).astype(jnp.uint8),
             info=jnp.zeros((NI, S), jnp.uint8),
             nb_hi=jnp.broadcast_to(q_hi[:, None], (NI, S)),
             nb_lo=test_lo,
@@ -239,12 +254,9 @@ class LocalBackend:
         stride = 11 if self.stride_bug else 1
         tidx = slo[:, None] + stride * j
         in_dict = tidx < n_snp
-        e_lo = jnp.where(in_dict,
-                         jnp.take(d.snp_lo, tidx, axis=0, mode="clip"),
-                         U32(0))
-        e_hi8 = jnp.where(in_dict,
-                          jnp.take(d.snp_hi, tidx, axis=0, mode="clip")
-                          & U32(0xFF), U32(0))
+        tst = jnp.take(d.snp_test, tidx, axis=0, mode="clip")  # (NI, S, 2)
+        e_lo = jnp.where(in_dict, tst[..., 0], U32(0))
+        e_hi8 = jnp.where(in_dict, tst[..., 1], U32(0))
         xlo = q_lo[:, None] ^ e_lo
         xhi8 = (q_hi[:, None] & U32(0xFF)) ^ e_hi8
         tz40 = jnp.where(xlo != 0, _ctz32(xlo), 32 + _ctz32(xhi8))
@@ -257,11 +269,12 @@ class LocalBackend:
         act = active[:, None] & (j < ssize[:, None])
         hit = act & oks
         mr = jnp.minimum(meta_row, d.snp_hi.shape[0] - 1)
+        meta = jnp.take(d.snp_meta, mr, axis=0, mode="clip")  # (NI, S, 2)
         return ScanResult(
             hit=hit,
-            pos=jnp.take(d.snp_pos, mr, axis=0, mode="clip"),
-            flag=jnp.take(d.snp_flag, mr, axis=0, mode="clip"),
-            info=jnp.take(d.snp_info, mr, axis=0, mode="clip"),
+            pos=meta[..., 0],
+            flag=(meta[..., 1] & U32(0xFF)).astype(jnp.uint8),
+            info=((meta[..., 1] >> 8) & U32(0xFF)).astype(jnp.uint8),
             nb_hi=(q_hi[:, None] & U32(0xFFFFFF00)) | e_hi8,
             nb_lo=e_lo,
             diff=k2s,

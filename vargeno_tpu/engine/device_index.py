@@ -28,18 +28,20 @@ from ..index.store import VarGenoIndex
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DeviceIndex:
-    # ref dictionary
+    # ref dictionary. Row metadata is packed (pos, flag) so a block scan
+    # fetches both with ONE 8-byte row gather instead of two 4/1-byte
+    # gathers (XLA emits one gather op per array; packing halves the
+    # scan-stage gather count).
     ref_hi: jax.Array      # (n,) u32
     ref_lo: jax.Array      # (n,) u32
-    ref_pos: jax.Array     # (n,) u32
-    ref_flag: jax.Array    # (n,) u8
+    ref_meta: jax.Array    # (n, 2) u32 [pos, flag]
     ref_aux: jax.Array     # (m, 10) u32
-    # snp dictionary
+    # snp dictionary: same packing; scans additionally test (lo, hi8)
+    # at stride-bug indices, so those live in one packed row array too
     snp_hi: jax.Array
     snp_lo: jax.Array
-    snp_pos: jax.Array
-    snp_info: jax.Array    # (n,) u8
-    snp_flag: jax.Array
+    snp_meta: jax.Array    # (n, 2) u32 [pos, flag | info<<8]
+    snp_test: jax.Array    # (n, 2) u32 [lo, hi & 0xFF]
     snp_aux_pos: jax.Array  # (ms, 10) u32
     snp_aux_snp: jax.Array  # (ms, 10) u8
     # Bloom filters (u32 words, LSB-first)
@@ -231,6 +233,13 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
     snp_pos_a, snp_info_a, snp_flag_a = (pad32(snp_pos_a),
                                          pad32(snp_info_a),
                                          pad32(snp_flag_a))
+    ref_meta = np.stack([ref_pos_a.astype(np.uint32),
+                         ref_flag_a.astype(np.uint32)], axis=1)
+    snp_meta = np.stack(
+        [snp_pos_a.astype(np.uint32),
+         snp_flag_a.astype(np.uint32)
+         | (snp_info_a.astype(np.uint32) << np.uint32(8))], axis=1)
+    snp_test = np.stack([snp_lo, snp_hi & np.uint32(0xFF)], axis=1)
 
     dev = jax.device_put
     return DeviceIndex(
@@ -244,11 +253,10 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
         ref_scan_max=ref_scan_max, snp_scan_max=snp_scan_max,
         n_ref_rows=n_ref_rows, n_snp_rows=n_snp_rows,
         ref_hi=dev(ref_hi), ref_lo=dev(ref_lo),
-        ref_pos=dev(ref_pos_a), ref_flag=dev(ref_flag_a),
+        ref_meta=dev(ref_meta),
         ref_aux=dev(ref_aux_a),
         snp_hi=dev(snp_hi), snp_lo=dev(snp_lo),
-        snp_pos=dev(snp_pos_a), snp_info=dev(snp_info_a),
-        snp_flag=dev(snp_flag_a),
+        snp_meta=dev(snp_meta), snp_test=dev(snp_test),
         snp_aux_pos=dev(snp_aux_pos_a),
         snp_aux_snp=dev(snp_aux_snp_a),
         ref_bf=dev(index.ref_bf.as_u32()),

@@ -79,3 +79,39 @@ def test_rolling_kmers_match_numpy():
     v_p = ~np_window_has_n(codes)
     np.testing.assert_array_equal(v_n, v_p)
     np.testing.assert_array_equal(k_n[v_n], k_p[v_p])
+
+
+def test_fastq_chunked_streaming_identical():
+    """Bounded-window streaming (WGS files exceed RAM) must batch exactly
+    like the numpy reader, including records split across window edges and
+    a missing final newline."""
+    import tempfile
+
+    import numpy as np
+
+    from vargeno_tpu import native
+    from vargeno_tpu.io.fastq import iter_read_batches
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    fq = os.path.join(FIX, "reads.fq")
+
+    def cat(rows):
+        return tuple(np.concatenate([r[i] for r in rows]) for i in range(3))
+
+    ref_rows = [(b.codes[: b.n_valid], b.n_kmers[: b.n_valid],
+                 b.qual[: b.n_valid])
+                for b in iter_read_batches(fq, 64, 128, 4, use_native=False)]
+    ref = cat(ref_rows)
+    data = open(fq, "rb").read().rstrip(b"\n")  # also drop final newline
+    with tempfile.NamedTemporaryFile(suffix=".fq") as tf:
+        tf.write(data)
+        tf.flush()
+        for chunk in (257, 4096):
+            rows = [(c[:g], k[:g], q[:g]) for c, k, q, g in
+                    native.fastq_batches(tf.name, 64, 128, 4,
+                                         chunk_bytes=chunk)]
+            got = cat(rows)
+            assert all((a == b).all() for a, b in zip(ref, got))

@@ -100,33 +100,48 @@ def available() -> bool:
     return _load() is not None
 
 
-def fastq_batches(path: str, batch: int, L: int, K: int):
+CHUNK_BYTES = 256 << 20  # streamed read window (WGS FASTQs exceed RAM)
+
+
+def fastq_batches(path: str, batch: int, L: int, K: int,
+                  chunk_bytes: int = CHUNK_BYTES):
     """Yield (codes(B,L)u8, n_kmers(B,)i32, qual(B,K)u8, n_valid) from a
-    FASTQ file using the native parser. The file is read once into memory
-    (mmap-light; genomics FASTQs are streamed in practice -- chunking to a
-    bounded window is a TODO for >RAM files)."""
+    FASTQ file using the native parser, streaming the file in bounded
+    windows (the parser stops at the last complete 4-line record in the
+    window; the tail carries into the next read)."""
     lib = _load()
     assert lib is not None
-    data = open(path, "rb").read()
-    cursor = ctypes.c_int64(0)
-    n = len(data)
-    buf = ctypes.c_char_p(data)
-    while cursor.value < n:
-        codes = np.empty((batch, L), np.uint8)
-        n_kmers = np.empty(batch, np.int32)
-        qual = np.empty((batch, K), np.uint8)
-        got = lib.vgt_fastq_batch(
-            buf, n, ctypes.byref(cursor), batch, L, K,
-            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            n_kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-        if got == 0:
-            break
-        if got < batch:
-            codes[got:] = 4
-            n_kmers[got:] = 0
-            qual[got:] = 0
-        yield codes, n_kmers, qual, int(got)
+    with open(path, "rb") as f:
+        tail = b""
+        eof = False
+        while not eof:
+            data = f.read(chunk_bytes)
+            eof = len(data) < chunk_bytes
+            data = tail + data
+            if eof and data and not data.endswith(b"\n"):
+                data += b"\n"   # unterminated final record
+            n = len(data)
+            cursor = ctypes.c_int64(0)
+            buf = ctypes.c_char_p(data)
+            while True:
+                codes = np.empty((batch, L), np.uint8)
+                n_kmers = np.empty(batch, np.int32)
+                qual = np.empty((batch, K), np.uint8)
+                got = lib.vgt_fastq_batch(
+                    buf, n, ctypes.byref(cursor), batch, L, K,
+                    codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    n_kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                if got == 0:
+                    break
+                if got < batch:
+                    codes[got:] = 4
+                    n_kmers[got:] = 0
+                    qual[got:] = 0
+                yield codes, n_kmers, qual, int(got)
+                if got < batch:   # parser stopped short: window exhausted
+                    break
+            tail = data[cursor.value:]
 
 
 def encode_batch(codes: np.ndarray, n_kmers: np.ndarray, K: int):

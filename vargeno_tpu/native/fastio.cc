@@ -40,12 +40,16 @@ inline const char* find_nl(const char* p, const char* end) {
 
 extern "C" {
 
-// Parse up to `batch` FASTQ records from buf[*cursor:len].
+// Parse up to `batch` COMPLETE FASTQ records from buf[*cursor:len].
 // Outputs (caller-allocated):
 //   codes:   batch*L uint8, prefilled is NOT required (fully written)
 //   n_kmers: batch int32
 //   qual:    batch*K uint8
-// Returns number of reads parsed; advances *cursor past them.
+// Returns number of reads parsed; advances *cursor past them. A record
+// whose four lines are not all newline-terminated inside the buffer is
+// NOT consumed (cursor stays at its '@' line), so callers can stream the
+// file in bounded windows and carry the incomplete tail into the next
+// window (native.fastq_batches).
 int64_t vgt_fastq_batch(const char* buf, int64_t len, int64_t* cursor,
                         int64_t batch, int64_t L, int64_t K,
                         uint8_t* codes, int32_t* n_kmers, uint8_t* qual) {
@@ -53,6 +57,7 @@ int64_t vgt_fastq_batch(const char* buf, int64_t len, int64_t* cursor,
   const char* end = buf + len;
   int64_t filled = 0;
   while (filled < batch && p < end) {
+    const char* rec = p;
     // @id line
     const char* nl = find_nl(p, end);
     if (nl == end) break;
@@ -61,15 +66,18 @@ int64_t vgt_fastq_batch(const char* buf, int64_t len, int64_t* cursor,
     const char* seq = p;
     nl = find_nl(p, end);
     int64_t slen = nl - seq;
-    p = (nl == end) ? end : nl + 1;
+    if (nl == end) { p = rec; break; }
+    p = nl + 1;
     // + line
     nl = find_nl(p, end);
-    p = (nl == end) ? end : nl + 1;
+    if (nl == end) { p = rec; break; }
+    p = nl + 1;
     // quality line
     const char* q = p;
     nl = find_nl(p, end);
     int64_t qlen = nl - q;
-    p = (nl == end) ? end : nl + 1;
+    if (nl == end) { p = rec; break; }
+    p = nl + 1;
 
     uint8_t* crow = codes + filled * L;
     int64_t ln = slen < L ? slen : L;

@@ -64,3 +64,30 @@ def test_pre_encode_end_to_end_identical(mini_index, depth, group):
     assert (np.asarray(a.ref_cnt) == np.asarray(b.ref_cnt)).all()
     assert (np.asarray(a.alt_cnt) == np.asarray(b.alt_cnt)).all()
     assert a.n_reads == b.n_reads
+
+
+def test_rc_enc_matches_recode():
+    """RC-from-packed-words must equal host reverse-complement + re-encode
+    for every read length / N placement."""
+    import jax
+
+    from vargeno_tpu.engine.batch import encode_batch, rc_enc
+
+    rng = np.random.default_rng(11)
+    B, L, K = 127, 128, 4
+    codes = _random_codes(rng, B, L)
+    nk = rng.integers(0, K + 1, B).astype(np.int32)
+    length = nk * 32
+    idx = length[:, None] - 1 - np.arange(L)[None, :]
+    g = np.take_along_axis(codes, np.clip(idx, 0, L - 1), axis=1)
+    rc = np.where(g < 4, 3 - g, g)
+    rc_codes = np.where(idx >= 0, rc, 4).astype(np.uint8)
+
+    enc = jax.jit(encode_batch, static_argnums=2)(codes, nk, K)
+    got = jax.jit(rc_enc, static_argnums=5)(*enc, nk, K)
+    want = jax.jit(encode_batch, static_argnums=2)(rc_codes, nk, K)
+    kv = np.asarray(want[2])
+    assert (np.asarray(got[2]) == kv).all()
+    assert (np.asarray(got[3]) == np.asarray(want[3])).all()
+    assert (np.asarray(got[0])[kv] == np.asarray(want[0])[kv]).all()
+    assert (np.asarray(got[1])[kv] == np.asarray(want[1])[kv]).all()

@@ -79,6 +79,32 @@ class _Shapes:
     A: int    # agreeing contexts per read
 
 
+def _bitrev2_u32(x):
+    """Reverse the sixteen 2-bit fields of a uint32."""
+    m2 = U32(0x33333333)
+    m4 = U32(0x0F0F0F0F)
+    m8 = U32(0x00FF00FF)
+    x = ((x & m2) << 2) | ((x >> 2) & m2)
+    x = ((x & m4) << 4) | ((x >> 4) & m4)
+    x = ((x & m8) << 8) | ((x >> 8) & m8)
+    return (x << 16) | (x >> 16)
+
+
+def rc_enc(hi, lo, kmer_valid, read_ok, n_kmers, K: int):
+    """Reverse-complement orientation of an encoded batch, derived from the
+    packed kmer words alone (reference semantics: the read -- truncated to
+    nk*32 bases -- is reverse-complemented in place and re-encoded,
+    src/qv.cc:787-806; with 32-aligned truncation, RC kmer j is the
+    base-reversed complement of forward kmer nk-1-j). Validity masks are
+    symmetric under RC, so they carry over unchanged."""
+    rhi = _bitrev2_u32(~lo)
+    rlo = _bitrev2_u32(~hi)
+    j = jnp.arange(K, dtype=I32)[None, :]
+    src = jnp.clip(n_kmers[:, None].astype(I32) - 1 - j, 0, K - 1)
+    take_k = lambda a: jnp.take_along_axis(a, src, axis=1)
+    return take_k(rhi), take_k(rlo), kmer_valid, read_ok
+
+
 def _get_base(hi, lo, i):
     use_hi = i >= 16
     sh = jnp.where(use_hi, 2 * (i - 16), 2 * i).astype(U32)
@@ -652,20 +678,12 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
     def step(dix_t, codes, n_kmers, qual, ref_cnt, alt_cnt):
         B, K = sh.B, sh.K
         be = backend_factory(dix_t)
-        fwd = orientation_pass(dix_t, be,
-                               encode_batch(codes, n_kmers, K), qual)
+        enc = encode_batch(codes, n_kmers, K)
+        fwd = orientation_pass(dix_t, be, enc, qual)
 
-        # reverse-complement retry for unprocessed reads (qv.cc:1504-1510)
-        length = (n_kmers * 32).astype(jnp.int32)
-        L = codes.shape[1]
-        ridx = length[:, None] - 1 - jnp.arange(L, dtype=I32)[None, :]
-        rvalid = ridx >= 0
-        g = jnp.take_along_axis(codes, jnp.clip(ridx, 0, L - 1).astype(I32),
-                                axis=1)
-        rc = jnp.where(g < 4, 3 - g, g)
-        rc_codes = jnp.where(rvalid, rc, jnp.uint8(4)).astype(jnp.uint8)
-        rev = orientation_pass(dix_t, be,
-                               encode_batch(rc_codes, n_kmers, K), qual)
+        # reverse-complement retry for unprocessed reads (qv.cc:1504-1510),
+        # derived from the packed words (no device re-encode)
+        rev = orientation_pass(dix_t, be, rc_enc(*enc, n_kmers, K), qual)
 
         use_fwd = fwd["process"]
         use_rev = ~fwd["process"] & fwd["read_ok"] & rev["process"]

@@ -115,3 +115,27 @@ def test_fastq_chunked_streaming_identical():
                                          chunk_bytes=chunk)]
             got = cat(rows)
             assert all((a == b).all() for a, b in zip(ref, got))
+
+
+def test_fastq_skip_reads_matches_numpy():
+    import numpy as np
+
+    from vargeno_tpu import native
+    from vargeno_tpu.io.fastq import iter_read_batches
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    fq = READS
+    for skip in (1, 777, 10**6):
+        a = [(b.codes[: b.n_valid]) for b in
+             iter_read_batches(fq, 64, 128, 4, skip_reads=skip,
+                               use_native=True)]
+        b = [(x.codes[: x.n_valid]) for x in
+             iter_read_batches(fq, 64, 128, 4, skip_reads=skip,
+                               use_native=False)]
+        assert bool(a) == bool(b)
+        if a:
+            ca, cb = np.concatenate(a), np.concatenate(b)
+            assert ca.shape == cb.shape and (ca == cb).all()

@@ -23,12 +23,19 @@ from vargeno_tpu.index import store  # noqa: E402
 FQ = "/tmp/vgt_bench48/reads.fq"
 
 
+_DIX = [None]
+
+
 def run_point(index, group, depth, pre_encode=True, passes=2):
     cfg = GenoConfig(batch_reads=32768, max_read_len=128,
                      max_kmers_per_read=4, pallas_vote=True,
                      pre_encode=pre_encode, group_size=group,
                      pipeline_depth=depth)
-    runner = GenoRunner(index, cfg, queued_orientation=True)
+    if _DIX[0] is None:
+        from vargeno_tpu.engine.device_index import build_device_index
+
+        _DIX[0] = build_device_index(index)
+    runner = GenoRunner(index, cfg, queued_orientation=True, dix=_DIX[0])
     runner.consume_fastq(FQ, limit_batches=2 * max(group, 1))  # compile
     rates = []
     for _ in range(passes):

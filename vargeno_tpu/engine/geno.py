@@ -82,10 +82,12 @@ class GenoRunner:
     def __init__(self, index: store.VarGenoIndex,
                  config: GenoConfig = DEFAULT_CONFIG,
                  queued_orientation: bool = True,
-                 metrics_path=None):
+                 metrics_path=None, dix=None):
         self.index = index
         self.config = config
-        self.dix = build_device_index(index)
+        # dix: share one device-resident index across runners (sweeps,
+        # cohort mode) instead of rebuilding/re-uploading it per runner
+        self.dix = build_device_index(index) if dix is None else dix
         self._procs: dict = {}
         self._cfg_run = config   # escalated in place when capacities trip
         self.step = self._proc(config)

@@ -29,12 +29,12 @@ def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
                       max_kmers: int, skip_reads: int = 0,
                       use_native: bool = True) -> Iterator[ReadBatch]:
     B, L, Km = batch_reads, max_read_len, max_kmers
-    if use_native and skip_reads == 0:
+    if use_native:
         from .. import native
 
         if native.available():
             for codes, n_kmers, qual, got in native.fastq_batches(
-                    path, B, L, Km):
+                    path, B, L, Km, skip_reads=skip_reads):
                 yield ReadBatch(codes, n_kmers, qual, got)
             return
     codes = np.full((B, L), 4, np.uint8)

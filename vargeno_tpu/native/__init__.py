@@ -104,15 +104,33 @@ CHUNK_BYTES = 256 << 20  # streamed read window (WGS FASTQs exceed RAM)
 
 
 def fastq_batches(path: str, batch: int, L: int, K: int,
-                  chunk_bytes: int = CHUNK_BYTES):
+                  chunk_bytes: int = CHUNK_BYTES, skip_reads: int = 0):
     """Yield (codes(B,L)u8, n_kmers(B,)i32, qual(B,K)u8, n_valid) from a
     FASTQ file using the native parser, streaming the file in bounded
     windows (the parser stops at the last complete 4-line record in the
-    window; the tail carries into the next read)."""
+    window; the tail carries into the next read). ``skip_reads`` skips
+    4*skip_reads leading lines at newline-count speed (checkpoint
+    resume)."""
     lib = _load()
     assert lib is not None
     with open(path, "rb") as f:
-        tail = b""
+        lines_left = 4 * skip_reads
+        carry = b""
+        while lines_left > 0:
+            blk = f.read(1 << 22)
+            if not blk:
+                return
+            n_nl = blk.count(b"\n")
+            if n_nl < lines_left:
+                lines_left -= n_nl
+                continue
+            # the skip boundary is inside this block
+            off = -1
+            for _ in range(lines_left):
+                off = blk.index(b"\n", off + 1)
+            carry = blk[off + 1:]
+            lines_left = 0
+        tail = carry
         eof = False
         while not eof:
             data = f.read(chunk_bytes)

@@ -1,9 +1,11 @@
 """Multi-sample cohort genotyping: N donors against one replicated index.
 
 No reference equivalent (the reference genotypes one FASTQ per run); this is
-the BASELINE.json "multi-sample cohort" configuration: the index and engine
-are built once, each sample streams through the same compiled step with its
-own pileup accumulators, and per-sample VCFs are written at the end.
+the BASELINE.json "multi-sample cohort" configuration: the index, device
+tensors and compiled step are built once, each sample streams through the
+same pipelined engine (engine.geno.GenoRunner: queued orientation retries,
+host pre-encoding, grouped dispatch, auto-retry escalation) with its own
+pileup accumulators, and per-sample VCFs are written at the end.
 """
 
 from __future__ import annotations
@@ -16,10 +18,8 @@ import numpy as np
 from ..config import DEFAULT_CONFIG, GenoConfig
 from ..finalize import finalize_calls
 from ..index import store
-from ..io.fastq import iter_read_batches
 from ..io.vcf_writer import write_calls_vcf
-from .batch import make_batch_processor
-from .device_index import build_device_index
+from .geno import GenoRunner
 
 
 class CohortRunner:
@@ -28,38 +28,37 @@ class CohortRunner:
                  config: GenoConfig = DEFAULT_CONFIG):
         self.index = index
         self.config = config
-        self.dix = build_device_index(index)
-        self.step = make_batch_processor(self.dix, config)
-        n = self.dix.n_sites
-        self.counts = {
-            name: (jnp.zeros(n + 1, jnp.int32), jnp.zeros(n + 1, jnp.int32))
-            for name in sample_names
-        }
+        self._runner = GenoRunner(index, config)
+        # None until consumed: the per-batch count merge donates its input
+        # buffers, so each sample starts from freshly allocated zeros
+        self.counts: Dict[str, Optional[tuple]] = {
+            name: None for name in sample_names}
         self.stats: Dict[str, dict] = {name: {} for name in sample_names}
 
     def consume_sample(self, name: str, fastq_path: str,
                        limit_batches: Optional[int] = None) -> None:
-        cfg = self.config
-        rc, ac = self.counts[name]
-        nb = 0
-        for batch in iter_read_batches(fastq_path, cfg.batch_reads,
-                                       cfg.max_read_len,
-                                       cfg.max_kmers_per_read):
-            rc, ac, stats = self.step(
-                jnp.asarray(batch.codes), jnp.asarray(batch.n_kmers),
-                jnp.asarray(batch.qual), rc, ac)
-            st = self.stats[name]
-            for k, v in stats.items():
-                st[k] = st.get(k, 0) + int(v)
-            nb += 1
-            if limit_batches and nb >= limit_batches:
-                break
-        self.counts[name] = (rc, ac)
+        r = self._runner
+        n = r.dix.n_sites
+        if self.counts[name] is None:
+            r.ref_cnt = jnp.zeros(n + 1, jnp.int32)
+            r.alt_cnt = jnp.zeros(n + 1, jnp.int32)
+        else:
+            r.ref_cnt, r.alt_cnt = self.counts[name]
+        r.stats_totals = {}
+        r.consume_fastq(fastq_path, limit_batches=limit_batches)
+        self.counts[name] = (r.ref_cnt, r.alt_cnt)
+        st = self.stats[name]
+        for k, v in r.stats_totals.items():
+            st[k] = st.get(k, 0) + int(v)
 
     def sample_calls(self, name: str):
         s = self.index.sites
         n = s.pos.shape[0]
-        rc, ac = self.counts[name]
+        if self.counts[name] is None:
+            z = np.zeros(n, np.int32)
+            rc, ac = z, z
+        else:
+            rc, ac = self.counts[name]
         ref = np.minimum(np.asarray(rc)[:n], self.config.max_cov)
         alt = np.minimum(np.asarray(ac)[:n], self.config.max_cov)
         return finalize_calls(self.index.chrlens, s.pos, s.ref, s.alt,

@@ -57,29 +57,32 @@ class ShardedGenoRunner:
             lambda a: jax.device_put(a, repl)
             if isinstance(a, jax.Array) else a, dix)
         proc = make_batch_processor(dix, config)
-        raw = proc.raw
+        raw_enc = proc.raw_enc
         n = dix.n_sites
         self.n_sites = n
 
         data = P(self.axis)
         none = P()
 
-        @partial(jax.jit, donate_argnums=(4, 5),
+        @partial(jax.jit, donate_argnums=(7, 8),
                  static_argnames=())
-        def sharded_step(dix_t, codes, n_kmers, qual, ref_cnt_d, alt_cnt_d):
-            def local(dix_l, codes_l, nk_l, q_l, rc_l, ac_l):
-                rc, ac, stats = raw(dix_l, codes_l, nk_l, q_l,
-                                    rc_l[0], ac_l[0])
+        def sharded_step(dix_t, hi, lo, kv, rok, n_kmers, qual,
+                         ref_cnt_d, alt_cnt_d):
+            def local(dix_l, hi_l, lo_l, kv_l, rok_l, nk_l, q_l, rc_l,
+                      ac_l):
+                rc, ac, stats = raw_enc(dix_l, hi_l, lo_l, kv_l, rok_l,
+                                        nk_l, q_l, rc_l[0], ac_l[0])
                 stats = {k: jax.lax.psum(v, self.axis)
                          for k, v in stats.items()}
                 return rc[None], ac[None], stats
 
             return jax.shard_map(
                 local, mesh=self.mesh,
-                in_specs=(none, data, data, data, data, data),
+                in_specs=(none, data, data, data, data, data, data, data,
+                          data),
                 out_specs=(data, data, none),
                 check_vma=False,
-            )(dix_t, codes, n_kmers, qual, ref_cnt_d, alt_cnt_d)
+            )(dix_t, hi, lo, kv, rok, n_kmers, qual, ref_cnt_d, alt_cnt_d)
 
         self._step = sharded_step
 
@@ -116,18 +119,32 @@ class ShardedGenoRunner:
         from ..io.fastq import iter_read_batches, prefetch
 
         cfg = self.config
+        K = cfg.max_kmers_per_read
         nb = 0
         shard = self._shardings["codes"]
+
+        def encoded_batches():
+            """Host-side pre-encode on the prefetch thread: the mesh ships
+            packed kmer words (~3.6x less than base codes per device)."""
+            from .. import native
+            from ..core.kmer import np_encode_batch
+
+            enc = (native.encode_batch if native.available()
+                   else lambda c, k, K_: np_encode_batch(c, k, K_))
+            for batch in iter_read_batches(
+                    fastq_path, self.global_batch(), cfg.max_read_len, K):
+                hi, lo, kv, rok = enc(batch.codes, batch.n_kmers, K)
+                yield hi, lo, kv, rok, batch.n_kmers, batch.qual, \
+                    batch.n_valid
+
         pending = None   # one-behind stats sync keeps the host feeding
-        for batch in prefetch(iter_read_batches(
-                fastq_path, self.global_batch(), cfg.max_read_len,
-                cfg.max_kmers_per_read)):
-            codes = jax.device_put(batch.codes, shard)
-            nk = jax.device_put(batch.n_kmers, shard)
-            qual = jax.device_put(batch.qual, shard)
+        for hi, lo, kv, rok, nk, qual, n_valid in prefetch(
+                encoded_batches()):
+            args = [jax.device_put(a, shard)
+                    for a in (hi, lo, kv, rok, nk, qual)]
             self.ref_cnt_d, self.alt_cnt_d, stats = self._step(
-                self.dix, codes, nk, qual, self.ref_cnt_d, self.alt_cnt_d)
-            self.n_reads += batch.n_valid
+                self.dix, *args, self.ref_cnt_d, self.alt_cnt_d)
+            self.n_reads += n_valid
             if pending is not None:
                 self._bump(pending)
             pending = stats

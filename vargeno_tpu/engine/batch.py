@@ -676,14 +676,24 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
     # ------------------------------------------------------------------
     def step(dix_t, codes, n_kmers, qual, ref_cnt, alt_cnt):
-        B, K = sh.B, sh.K
         be = backend_factory(dix_t)
-        enc = encode_batch(codes, n_kmers, K)
+        enc = encode_batch(codes, n_kmers, sh.K)
+        return _finish_dual(dix_t, be, enc, n_kmers, qual, ref_cnt, alt_cnt)
+
+    def step_enc(dix_t, hi, lo, kvalid, read_ok, n_kmers, qual, ref_cnt,
+                 alt_cnt):
+        """Dual-orientation step from host-pre-encoded kmer words (the
+        mesh data-parallel runner ships these instead of base codes)."""
+        be = backend_factory(dix_t)
+        return _finish_dual(dix_t, be, (hi, lo, kvalid, read_ok), n_kmers,
+                            qual, ref_cnt, alt_cnt)
+
+    def _finish_dual(dix_t, be, enc, n_kmers, qual, ref_cnt, alt_cnt):
         fwd = orientation_pass(dix_t, be, enc, qual)
 
         # reverse-complement retry for unprocessed reads (qv.cc:1504-1510),
         # derived from the packed words (no device re-encode)
-        rev = orientation_pass(dix_t, be, rc_enc(*enc, n_kmers, K), qual)
+        rev = orientation_pass(dix_t, be, rc_enc(*enc, n_kmers, sh.K), qual)
 
         use_fwd = fwd["process"]
         use_rev = ~fwd["process"] & fwd["read_ok"] & rev["process"]
@@ -791,6 +801,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                                 ref_cnt, alt_cnt)
 
     run.raw = step          # unjitted (dix, codes, ...) for shard_map use
+    run.raw_enc = step_enc  # unjitted pre-encoded dual variant
     run.single = run_single
     run.single_enc = run_single_enc
     run.multi_enc = run_multi_enc

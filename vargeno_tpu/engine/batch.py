@@ -284,7 +284,13 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         hi, lo, kmer_valid, read_ok = enc
 
         r_hit, r_pos, r_flag = be.exact_ref(hi, lo, kmer_valid)
-        s_hit, s_pos, s_info, s_flag = be.exact_snp(hi, lo, kmer_valid)
+        if cfg.sparse_exact_snp:
+            # most read kmers miss the snp dict; the one-bit prefilter
+            # turns those misses into a single word gather each
+            x_snp0 = getattr(be, "exact_snp_sparse", be.exact_snp)
+            s_hit, s_pos, s_info, s_flag = x_snp0(hi, lo, kmer_valid)
+        else:
+            s_hit, s_pos, s_info, s_flag = be.exact_snp(hi, lo, kmer_valid)
         r_hit = r_hit & kmer_valid
         s_hit = s_hit & kmer_valid
 

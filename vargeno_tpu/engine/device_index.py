@@ -218,9 +218,12 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
     from .hashtable import prefilter_bits
 
     def pf_size(n):
-        # ~32 bits per key, power of two, min 1 Mbit
+        # ~32 bits per key, power of two, min 1 Mbit; the bucket hash is
+        # 32-bit so 2^32 bits is the addressable maximum (512 MB; beyond
+        # ~1G keys the fill rises and pruning degrades -- such indexes
+        # belong in sharded-dictionary mode anyway)
         b = 1 << max(20, int(np.ceil(np.log2(max(n, 1) * 32))))
-        return min(b, 1 << 33)
+        return min(b, 1 << 32)
 
     ref_pf_bits = pf_size(ref_hi.shape[0])
     snp_pf_bits = pf_size(snp_hi.shape[0])

@@ -91,7 +91,7 @@ def _snap_boundaries(keys_hi: np.ndarray, D: int):
 def partition_index(index: VarGenoIndex, D: int):
     """Host plan. Returns (base DeviceIndex [for replicated fields], stacked
     per-shard arrays dict, plan, owned/total row counts)."""
-    base = build_device_index(index)
+    base = build_device_index(index, skip_tables=True, host_only=True)
     # trim the 32-row alignment padding: shards partition true rows only
     ref_hi = np.asarray(base.ref_hi)[:base.n_ref_rows]
     snp_hi = np.asarray(base.snp_hi)[:base.n_snp_rows]

@@ -111,7 +111,15 @@ class DeviceIndex:
         return self.site_pos.shape[0]
 
 
-def build_device_index(index: VarGenoIndex) -> DeviceIndex:
+def build_device_index(index: VarGenoIndex,
+                       skip_tables: bool = False,
+                       host_only: bool = False) -> DeviceIndex:
+    """skip_tables: omit the exact-lookup hash tables and prefilters
+    (1-row dummies). Sharded-dictionary mode answers exact lookups by
+    binary search over the shard arrays, so building the replicated
+    tables -- 50+ B/key -- would waste host RAM at whole-genome scale.
+    host_only: keep arrays as numpy (callers that re-partition them, e.g.
+    dist.sharded_dict.partition_index, avoid a device round trip)."""
     ref_k = index.ref.kmers
     snp_k = index.snp.kmers
     sites = index.sites
@@ -170,11 +178,17 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
     site_ra = (site_ref_a.astype(np.uint32)
                | (site_alt_a.astype(np.uint32) << np.uint32(8)))
 
-    from .hashtable import build_hash_table
+    from .hashtable import HostHashTable, build_hash_table
 
-    ref_tab = build_hash_table(ref_hi, ref_lo, ref_pos_a, ref_flag_a, None)
-    snp_tab = build_hash_table(snp_hi, snp_lo, snp_pos_a, snp_flag_a,
-                               snp_info_a)
+    if skip_tables:
+        dummy = np.zeros((1, 32), np.uint32)
+        ref_tab = HostHashTable(table=dummy, nb=1, chain=1)
+        snp_tab = HostHashTable(table=dummy, nb=1, chain=1)
+    else:
+        ref_tab = build_hash_table(ref_hi, ref_lo, ref_pos_a, ref_flag_a,
+                                   None)
+        snp_tab = build_hash_table(snp_hi, snp_lo, snp_pos_a, snp_flag_a,
+                                   snp_info_a)
 
     def jumpgate24(keys_hi24):
         """Prefix counts over the top 24 key bits: block h24 occupies rows
@@ -225,10 +239,14 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
         b = 1 << max(20, int(np.ceil(np.log2(max(n, 1) * 32))))
         return min(b, 1 << 32)
 
-    ref_pf_bits = pf_size(ref_hi.shape[0])
-    snp_pf_bits = pf_size(snp_hi.shape[0])
-    ref_pf = prefilter_bits(ref_hi, ref_lo, ref_pf_bits)
-    snp_pf = prefilter_bits(snp_hi, snp_lo, snp_pf_bits)
+    if skip_tables:
+        ref_pf_bits = snp_pf_bits = 1024
+        ref_pf = snp_pf = np.zeros(1024 // 32, np.uint32)
+    else:
+        ref_pf_bits = pf_size(ref_hi.shape[0])
+        snp_pf_bits = pf_size(snp_hi.shape[0])
+        ref_pf = prefilter_bits(ref_hi, ref_lo, ref_pf_bits)
+        snp_pf = prefilter_bits(snp_hi, snp_lo, snp_pf_bits)
 
     ref_hi, ref_lo = pad32(ref_hi), pad32(ref_lo)
     ref_pos_a, ref_flag_a = pad32(ref_pos_a), pad32(ref_flag_a)
@@ -244,7 +262,7 @@ def build_device_index(index: VarGenoIndex) -> DeviceIndex:
          | (snp_info_a.astype(np.uint32) << np.uint32(8))], axis=1)
     snp_test = np.stack([snp_lo, snp_hi & np.uint32(0xFF)], axis=1)
 
-    dev = jax.device_put
+    dev = (lambda a: a) if host_only else jax.device_put
     return DeviceIndex(
         ref_ht=dev(ref_tab.table), snp_ht=dev(snp_tab.table),
         ref_ht_nb=ref_tab.nb, ref_ht_chain=ref_tab.chain,

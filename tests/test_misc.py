@@ -139,3 +139,24 @@ def test_store_dir_roundtrip(mini_index, tmp_path):
 
     dix = build_device_index(got)
     assert dix.n_ref == mini_index.ref.kmers.shape[0]
+
+
+def test_derived_table_cache_roundtrip(mini_index, tmp_path):
+    import numpy as np
+
+    from vargeno_tpu.engine.device_index import build_device_index
+    from vargeno_tpu.index import store
+
+    prefix = str(tmp_path / "dix_cache")
+    store.save_dir(prefix, mini_index)
+    a = build_device_index(store.load(prefix))   # builds + saves cache
+    import os
+
+    assert os.path.exists(prefix + ".vgt/derived/meta.json")
+    b = build_device_index(store.load(prefix))   # mmap-loads cache
+    for f in ("ref_ht", "snp_ht", "ref_pf", "snp_pf"):
+        assert (np.asarray(getattr(a, f)) == np.asarray(getattr(b, f))).all()
+    assert (a.ref_ht_nb, a.ref_ht_chain, a.snp_ht_nb, a.snp_ht_chain) == \
+        (b.ref_ht_nb, b.ref_ht_chain, b.snp_ht_nb, b.snp_ht_chain)
+    store.save_dir(prefix, mini_index)           # rebuild wipes the cache
+    assert not os.path.isdir(prefix + ".vgt/derived")

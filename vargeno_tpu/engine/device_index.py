@@ -111,6 +111,68 @@ class DeviceIndex:
         return self.site_pos.shape[0]
 
 
+_DERIVED_VERSION = 1  # bump when table layouts / hash family change
+
+
+class _DerivedCache:
+    """Disk cache for the expensive derived device tables (bucketized hash
+    tables, prefilter bitmaps) inside ``<prefix>.vgt/derived/``. Building
+    them takes minutes at 10^8-key scale; mmap-loading is ~free. The cache
+    keys on row counts + layout version and is wiped by store.save_dir when
+    an index is rebuilt at the same prefix."""
+
+    def __init__(self, index, n_ref: int, n_snp: int):
+        import os
+
+        self.dir = None
+        self.meta = None
+        prefix = getattr(index, "prefix", None)
+        if prefix and os.path.isdir(prefix + ".vgt"):
+            self.dir = os.path.join(prefix + ".vgt", "derived")
+        self._key = dict(version=_DERIVED_VERSION, n_ref=n_ref, n_snp=n_snp)
+        if self.dir and os.path.exists(os.path.join(self.dir, "meta.json")):
+            import json
+
+            try:
+                with open(os.path.join(self.dir, "meta.json")) as f:
+                    m = json.load(f)
+                if all(m.get(k) == v for k, v in self._key.items()):
+                    self.meta = m
+            except (OSError, ValueError):
+                pass
+
+    @property
+    def valid(self) -> bool:
+        return self.meta is not None
+
+    def load(self, name: str) -> np.ndarray:
+        import os
+
+        return np.load(os.path.join(self.dir, name + ".npy"), mmap_mode="r")
+
+    def save(self, meta: dict, **arrays) -> None:
+        if self.dir is None:
+            return
+        import json
+        import os
+
+        try:
+            os.makedirs(self.dir, exist_ok=True)
+            for name, arr in arrays.items():
+                tmp = os.path.join(self.dir, name + ".npy.tmp")
+                with open(tmp, "wb") as f:
+                    np.save(f, arr)
+                os.replace(tmp, os.path.join(self.dir, name + ".npy"))
+            m = dict(self._key)
+            m.update(meta)
+            tmp = os.path.join(self.dir, "meta.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, os.path.join(self.dir, "meta.json"))
+        except OSError:
+            pass  # cache is best-effort (read-only index dir, disk full)
+
+
 def build_device_index(index: VarGenoIndex,
                        skip_tables: bool = False,
                        host_only: bool = False) -> DeviceIndex:
@@ -180,10 +242,19 @@ def build_device_index(index: VarGenoIndex,
 
     from .hashtable import HostHashTable, build_hash_table
 
+    cache = _DerivedCache(index, n_ref=int(ref_hi.shape[0]),
+                          n_snp=int(snp_hi.shape[0]))
     if skip_tables:
         dummy = np.zeros((1, 32), np.uint32)
         ref_tab = HostHashTable(table=dummy, nb=1, chain=1)
         snp_tab = HostHashTable(table=dummy, nb=1, chain=1)
+    elif cache.valid:
+        ref_tab = HostHashTable(table=cache.load("ref_ht"),
+                                nb=cache.meta["ref_nb"],
+                                chain=cache.meta["ref_chain"])
+        snp_tab = HostHashTable(table=cache.load("snp_ht"),
+                                nb=cache.meta["snp_nb"],
+                                chain=cache.meta["snp_chain"])
     else:
         ref_tab = build_hash_table(ref_hi, ref_lo, ref_pos_a, ref_flag_a,
                                    None)
@@ -245,8 +316,16 @@ def build_device_index(index: VarGenoIndex,
     else:
         ref_pf_bits = pf_size(ref_hi.shape[0])
         snp_pf_bits = pf_size(snp_hi.shape[0])
-        ref_pf = prefilter_bits(ref_hi, ref_lo, ref_pf_bits)
-        snp_pf = prefilter_bits(snp_hi, snp_lo, snp_pf_bits)
+        if cache.valid:
+            ref_pf = cache.load("ref_pf")
+            snp_pf = cache.load("snp_pf")
+        else:
+            ref_pf = prefilter_bits(ref_hi, ref_lo, ref_pf_bits)
+            snp_pf = prefilter_bits(snp_hi, snp_lo, snp_pf_bits)
+            cache.save(ref_ht=ref_tab.table, snp_ht=snp_tab.table,
+                       ref_pf=ref_pf, snp_pf=snp_pf,
+                       meta=dict(ref_nb=ref_tab.nb, ref_chain=ref_tab.chain,
+                                 snp_nb=snp_tab.nb, snp_chain=snp_tab.chain))
 
     ref_hi, ref_lo = pad32(ref_hi), pad32(ref_lo)
     ref_pos_a, ref_flag_a = pad32(ref_pos_a), pad32(ref_flag_a)

@@ -58,6 +58,9 @@ class VarGenoIndex:
     chrlens: List[Tuple[str, int]]
     sites: SnpSites
     snp_locations: np.ndarray | None = None  # bool array for `filt`
+    # set by load()/load_dir(): lets the engine cache derived device
+    # tables (hash tables, prefilters) next to the index on disk
+    prefix: str | None = None
 
 
 def derive_sites(snp: SnpDict) -> SnpSites:
@@ -168,6 +171,11 @@ def save_dir(prefix: str, index: VarGenoIndex) -> None:
 
     d = prefix + ".vgt"
     os.makedirs(d, exist_ok=True)
+    derived = os.path.join(d, "derived")
+    if os.path.isdir(derived):  # stale engine-table cache of a prior index
+        import shutil
+
+        shutil.rmtree(derived)
     vals = dict(
         ref_kmers=index.ref.kmers, ref_pos=index.ref.pos,
         ref_flag=index.ref.flag, ref_aux=index.ref.aux,
@@ -225,7 +233,8 @@ def load_dir(prefix: str, mmap: bool = True) -> VarGenoIndex:
         snp_bf=BitVector(meta["snp_bf_bits"], ld("snp_bf_words")),
         chrlens=[(str(n), int(l)) for n, l in meta["chrlens"]],
         sites=sites,
-        snp_locations=np.asarray(locs).astype(bool) if locs.size else None)
+        snp_locations=np.asarray(locs).astype(bool) if locs.size else None,
+        prefix=prefix)
 
 
 def exists(prefix: str) -> bool:

@@ -141,16 +141,25 @@ class _DerivedCache:
             except (OSError, ValueError):
                 pass
 
-    @property
-    def valid(self) -> bool:
-        return self.meta is not None
+    def has(self, *names: str) -> bool:
+        """All artifacts present (meta key fields AND array files)."""
+        import os
+
+        if self.meta is None:
+            return False
+        for n in names:
+            if n not in self.meta and not os.path.exists(
+                    os.path.join(self.dir, n + ".npy")):
+                return False
+        return True
 
     def load(self, name: str) -> np.ndarray:
         import os
 
         return np.load(os.path.join(self.dir, name + ".npy"), mmap_mode="r")
 
-    def save(self, meta: dict, **arrays) -> None:
+    def save(self, meta: dict | None = None, **arrays) -> None:
+        """Best-effort incremental save; meta fields merge across calls."""
         if self.dir is None:
             return
         import json
@@ -161,14 +170,16 @@ class _DerivedCache:
             for name, arr in arrays.items():
                 tmp = os.path.join(self.dir, name + ".npy.tmp")
                 with open(tmp, "wb") as f:
-                    np.save(f, arr)
+                    np.save(f, np.ascontiguousarray(arr))
                 os.replace(tmp, os.path.join(self.dir, name + ".npy"))
-            m = dict(self._key)
-            m.update(meta)
+            m = dict(self.meta) if self.meta is not None else dict(self._key)
+            if meta:
+                m.update(meta)
             tmp = os.path.join(self.dir, "meta.json.tmp")
             with open(tmp, "w") as f:
                 json.dump(m, f)
             os.replace(tmp, os.path.join(self.dir, "meta.json"))
+            self.meta = m
         except OSError:
             pass  # cache is best-effort (read-only index dir, disk full)
 
@@ -248,7 +259,8 @@ def build_device_index(index: VarGenoIndex,
         dummy = np.zeros((1, 32), np.uint32)
         ref_tab = HostHashTable(table=dummy, nb=1, chain=1)
         snp_tab = HostHashTable(table=dummy, nb=1, chain=1)
-    elif cache.valid:
+    elif cache.has("ref_ht", "snp_ht", "ref_nb", "ref_chain", "snp_nb",
+                   "snp_chain"):
         ref_tab = HostHashTable(table=cache.load("ref_ht"),
                                 nb=cache.meta["ref_nb"],
                                 chain=cache.meta["ref_chain"])
@@ -270,9 +282,6 @@ def build_device_index(index: VarGenoIndex,
         jg[1:] = np.cumsum(counts).astype(np.uint32)
         return jg, maxblk
 
-    ref_jg, ref_maxblk = jumpgate24(ref_hi >> np.uint32(8))
-    snp_jg, snp_maxblk24 = jumpgate24(snp_hi >> np.uint32(8))
-    ref_win_rows = max(1, (max(ref_maxblk, 1) + 62) // 32)
     n_ref_rows = int(ref_hi.shape[0])
     n_snp_rows = int(snp_hi.shape[0])
 
@@ -285,8 +294,23 @@ def build_device_index(index: VarGenoIndex,
         edges = np.concatenate([[-1], b, [n - 1]])
         return max(1, int(np.diff(edges).max()))
 
-    ref_scan_max = max_run(ref_hi)          # hi32 blocks
-    snp_scan_max = max(1, int(snp_maxblk24))  # snp blocks ARE hi24 blocks
+    if cache.has("ref_jg", "snp_jg", "ref_win_rows", "ref_scan_max",
+                 "snp_scan_max"):
+        ref_jg = cache.load("ref_jg")
+        snp_jg = cache.load("snp_jg")
+        ref_win_rows = cache.meta["ref_win_rows"]
+        ref_scan_max = cache.meta["ref_scan_max"]
+        snp_scan_max = cache.meta["snp_scan_max"]
+    else:
+        ref_jg, ref_maxblk = jumpgate24(ref_hi >> np.uint32(8))
+        snp_jg, snp_maxblk24 = jumpgate24(snp_hi >> np.uint32(8))
+        ref_win_rows = max(1, (max(ref_maxblk, 1) + 62) // 32)
+        ref_scan_max = max_run(ref_hi)            # hi32 blocks
+        snp_scan_max = max(1, int(snp_maxblk24))  # snp blocks = hi24 blocks
+        cache.save(meta=dict(ref_win_rows=ref_win_rows,
+                             ref_scan_max=ref_scan_max,
+                             snp_scan_max=snp_scan_max),
+                   ref_jg=ref_jg, snp_jg=snp_jg)
 
     def pad32(a):
         """Zero-pad rows to a multiple of 32.  Reads in the pad region
@@ -316,7 +340,7 @@ def build_device_index(index: VarGenoIndex,
     else:
         ref_pf_bits = pf_size(ref_hi.shape[0])
         snp_pf_bits = pf_size(snp_hi.shape[0])
-        if cache.valid:
+        if cache.has("ref_pf", "snp_pf"):
             ref_pf = cache.load("ref_pf")
             snp_pf = cache.load("snp_pf")
         else:

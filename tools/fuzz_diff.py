@@ -13,7 +13,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the oracle/engine diff is a
+# host-side correctness check; never attach to (possibly tunneled) devices
 
 import numpy as np  # noqa: E402
 

@@ -35,15 +35,20 @@ def main():
     dix = build_device_index(index)
     proc = make_batch_processor(dix, cfg)
     b = next(iter_read_batches(os.path.join(CACHE, "reads.fq"), B, 128, 4))
-    codes = jnp.asarray(b.codes)
-    nk = jnp.asarray(b.n_kmers)
+    from vargeno_tpu import native
+
+    hi_n, lo_n, kv_n, rok_n = native.encode_batch(b.codes, b.n_kmers, 4)
+    hi = jnp.asarray(hi_n)
+    lo = jnp.asarray(lo_n)
+    kv = jnp.asarray(kv_n)
+    rok = jnp.asarray(rok_n)
     qual = jnp.asarray(b.qual)
     n = dix.n_sites
 
     def run():
         rc = jnp.zeros(n + 1, jnp.int32)
         ac = jnp.zeros(n + 1, jnp.int32)
-        return proc.single(codes, nk, qual, rc, ac)[0]
+        return proc.single_enc(hi, lo, kv, rok, qual, rc, ac)[0]
 
     jax.block_until_ready(run())  # compile outside the trace
     t0 = time.time()

@@ -417,6 +417,11 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         goff = jnp.cumsum(groups, axis=-1) - groups
         ev_total = jnp.sum(groups, axis=-1)
         ev_overflow = jnp.sum(jnp.maximum(ev_total - E, 0))
+        # capacity-tuning telemetry (not overflow counters): actual maxima
+        # let the bench sweep right-size E / NI / NH for the workload
+        tune_stats = dict(ev_max=jnp.max(ev_total),
+                          lowq_n=jnp.sum(lowq),
+                          probe_hits=jnp.sum(jnp.where(h_ok, 1, 0)))
 
         # One packed (B, E+1, 5) u32 buffer; every event group lands with a
         # single scatter: words [idx, kpos, nbhi, nblo, meta] with
@@ -530,7 +535,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                          probe_overflow=ph_overflow,
                          event_overflow=ev_overflow,
                          cand_overflow=cand_ovf,
-                         snp_scan_overflow=scan_ovf)
+                         snp_scan_overflow=scan_ovf, **tune_stats)
             return dict(buf=buf, process=process, target=target,
                         read_ok=read_ok, stats=stats)
 
@@ -587,7 +592,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         stats = dict(ni_overflow=ni_overflow, probe_overflow=ph_overflow,
                      event_overflow=ev_overflow, cand_overflow=cand_ovf,
-                     snp_scan_overflow=scan_ovf)
+                     snp_scan_overflow=scan_ovf, **tune_stats)
         return dict(buf=buf, process=process, target=target,
                     read_ok=read_ok, stats=stats)
 
@@ -783,7 +788,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         (rc, ac), (proc, rok_o, stats) = jax.lax.scan(
             body, (ref_cnt, alt_cnt), (hi, lo, kvalid, read_ok, qual))
-        stats = {k: jnp.sum(v) for k, v in stats.items()}
+        stats = {k: (jnp.max(v) if k.endswith("_max") else jnp.sum(v))
+                 for k, v in stats.items()}
         return rc, ac, proc, rok_o, stats
 
     jitted = jax.jit(step, donate_argnums=(4, 5))

@@ -259,7 +259,11 @@ class GenoRunner:
 
     def _bump(self, stats):
         for k, v in stats.items():
-            self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
+            if k.endswith("_max"):  # telemetry maxima, not counters
+                self.stats_totals[k] = max(self.stats_totals.get(k, 0),
+                                           int(v))
+            else:
+                self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
 
     def _consume_queued(self, fastq_path, skip, limit_batches,
                         checkpoint_path, checkpoint_every):

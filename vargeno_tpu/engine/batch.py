@@ -530,6 +530,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
             process, target, cand_ovf = vote_scan_pallas(
                 ev_seq[0], ev_seq[1], ev_seq[2], ev_seq[3], C,
+                ev_n=jnp.minimum(ev_total, E),
                 interpret=cfg.pallas_interpret)
             stats = dict(ni_overflow=ni_overflow,
                          probe_overflow=ph_overflow,

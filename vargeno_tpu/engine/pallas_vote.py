@@ -23,7 +23,7 @@ U32 = jnp.uint32
 I32 = jnp.int32
 
 
-def _vote_kernel(idx_ref, k_ref, isnb_ref, val_ref,
+def _vote_kernel(idx_ref, k_ref, isnb_ref, val_ref, evn_ref,
                  process_ref, target_ref, ovf_ref,
                  cidx, cfreq, ckm, ncand, best_u, ovf_acc,
                  E: int, C: int):
@@ -94,7 +94,11 @@ def _vote_kernel(idx_ref, k_ref, isnb_ref, val_ref,
         best_u[3, :] = new_amb_i[0, :]
         return 0
 
-    jax.lax.fori_loop(0, E, body, 0)
+    # events beyond a read's count are invalid (no-op body steps), so the
+    # sequential loop only needs the tile's maximum event count -- typical
+    # reads carry ~8 events against a 96-slot buffer
+    e_hi = jnp.minimum(jnp.max(evn_ref[0, :]), E)
+    jax.lax.fori_loop(0, e_hi, body, 0)
 
     has_best = best_u[0, :] != 0
     bfreq = best_u[1, :]
@@ -107,13 +111,17 @@ def _vote_kernel(idx_ref, k_ref, isnb_ref, val_ref,
 
 
 def vote_scan_pallas(ev_idx, ev_k, ev_isnb, ev_valid, C: int,
-                     tile: int = 512, interpret: bool = False):
-    """ev_* are (E, B). Returns (process(B,) bool, target(B,) u32,
-    cand_overflow scalar i32)."""
+                     ev_n=None, tile: int = 512, interpret: bool = False):
+    """ev_* are (E, B); ev_n (B,) is each read's true event count (loop
+    bound; defaults to E everywhere). Returns (process(B,) bool,
+    target(B,) u32, cand_overflow scalar i32)."""
     E, B = ev_idx.shape
     tile = min(tile, B)
     assert B % tile == 0
     grid = B // tile
+    if ev_n is None:
+        ev_n = jnp.full((B,), E, I32)
+    ev_n = jnp.minimum(ev_n.astype(I32), E).reshape(1, B)
     kern = functools.partial(_vote_kernel, E=E, C=C)
     process, target, ovf = pl.pallas_call(
         kern,
@@ -126,6 +134,8 @@ def vote_scan_pallas(ev_idx, ev_k, ev_isnb, ev_valid, C: int,
             pl.BlockSpec((E, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((E, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -150,5 +160,6 @@ def vote_scan_pallas(ev_idx, ev_k, ev_isnb, ev_valid, C: int,
             pltpu.VMEM((1, tile), I32),
         ],
         interpret=interpret,
-    )(ev_idx, ev_k.astype(I32), ev_isnb.astype(I32), ev_valid.astype(I32))
+    )(ev_idx, ev_k.astype(I32), ev_isnb.astype(I32), ev_valid.astype(I32),
+      ev_n)
     return (process[0] != 0), target[0], jnp.sum(ovf)

@@ -108,7 +108,10 @@ def main():
     for g in (group, 1):
         cfg = GenoConfig(batch_reads=32768, max_read_len=128,
                          max_kmers_per_read=4, pallas_vote=True,
-                         group_size=g, pipeline_depth=2)
+                         group_size=g, pipeline_depth=2,
+                         # measured workload maxima (ev_max=4, lowq 4.7%):
+                         # 4x headroom, auto-retry escalates if ever hit
+                         events_per_read=16)
         runner = GenoRunner(index, cfg, queued_orientation=True)
         try:
             # warm up / compile every step variant the loop will use

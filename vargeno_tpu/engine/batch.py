@@ -152,9 +152,21 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         return jnp.take(arr, idx, axis=0, mode="clip")
 
     # ------------------------------------------------------------------
+    def _pack_meta(is_ref, diff, flag, info):
+        """Pack the narrow probe fields into one u32 word:
+        bit0 is_ref | bits1-6 diff | bits8-15 flag | bits16-23 info."""
+        return (is_ref.astype(U32)
+                | (diff.astype(U32) << 1)
+                | (flag.astype(U32) << 8)
+                | (info.astype(U32) << 16))
+
     def neighbor_probes(be, dix, it_hi, it_lo, it_valid):
-        """All neighbor probes for NI work items -> (NI, P2) materialized
-        fields (hit, is_ref, pos, flag, info, nb_hi, nb_lo, diff)."""
+        """All neighbor probes for NI work items -> hit mask (NI, P2) plus
+        ONE packed row tensor (NI, P2, 4) u32 [pos, nb_hi, nb_lo, meta], so
+        the downstream hit compaction is a single row gather instead of
+        eight per-field gathers. Column order inside P2 (= within-item
+        event order) matches the reference exactly: small ref scan, small
+        snp scan, interleaved big-lo ref/snp, interleaved hi ref/snp."""
         NI = it_hi.shape[0]
         bsize = be.ref_block_size(it_hi)
         big = bsize >= jnp.int32(cfg.block_size_threshold)
@@ -170,49 +182,40 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         ref_bound = jnp.where(ref_hit_bf, 64, 32)
         snp_bound = jnp.where(snp_hit_bf, 64, 40)
 
-        outs = []  # (hit, is_ref, pos, flag, info, nb_hi, nb_lo, diff)
+        def rows_of(pos, nb_hi, nb_lo, meta):
+            shp = jnp.broadcast_shapes(pos.shape, nb_hi.shape, nb_lo.shape,
+                                       meta.shape)
+            return jnp.stack([jnp.broadcast_to(pos.astype(U32), shp),
+                              jnp.broadcast_to(nb_hi, shp),
+                              jnp.broadcast_to(nb_lo, shp),
+                              jnp.broadcast_to(meta, shp)], axis=-1)
 
         # --- small-block scans (ref then snp) ---
         rs = be.ref_scan(it_hi, it_lo, it_valid & ~big)
-        outs.append((rs.hit, jnp.ones_like(rs.hit), rs.pos, rs.flag,
-                     rs.info, rs.nb_hi, rs.nb_lo, rs.diff))
         ss = be.snp_scan(it_hi, it_lo, it_valid & ~big)
-        outs.append((ss.hit, jnp.zeros_like(ss.hit), ss.pos, ss.flag,
-                     ss.info, ss.nb_hi, ss.nb_lo, ss.diff))
         scan_overflow = rs.overflow + ss.overflow
-
-        def interleave(a_ref, a_snp):
-            return jnp.stack([a_ref, a_snp], axis=-1).reshape(
-                a_ref.shape[0], -1)
+        hit_scan = [rs.hit, ss.hit]
+        rows_scan = [
+            rows_of(rs.pos, rs.nb_hi, rs.nb_lo,
+                    _pack_meta(jnp.ones_like(rs.hit), rs.diff, rs.flag,
+                               rs.info)),
+            rows_of(ss.pos, ss.nb_hi, ss.nb_lo,
+                    _pack_meta(jnp.zeros_like(ss.hit), ss.diff, ss.flag,
+                               ss.info))]
 
         bases = jnp.arange(16, dtype=I32)
         jj = jnp.arange(4, dtype=I32)
         bgrid = jnp.repeat(bases, 4)[None, :]            # (1, 64)
         jgrid = jnp.tile(jj, 16)[None, :]
 
-        # --- big-block lo-half enumeration (qv.cc:965-1108) ---
+        # neighbor key grids: big-block lo-half enumeration
+        # (qv.cc:965-1108) and hi-half probes (qv.cc:1213-1365)
         cur = ((it_lo[:, None] >> (2 * bgrid).astype(U32)) & U32(3))
         act_bl = it_valid[:, None] & big[:, None] & (jgrid != cur.astype(I32))
         nb_lo_big = ((it_lo[:, None] & ~(U32(3) << (2 * bgrid).astype(U32)))
                      | (jgrid.astype(U32) << (2 * bgrid).astype(U32)))
         nb_hi_big = jnp.broadcast_to(it_hi[:, None], nb_lo_big.shape)
-        x_ref = getattr(be, "exact_ref_sparse", be.exact_ref)
-        x_snp = getattr(be, "exact_snp_sparse", be.exact_snp)
-        r_hit, r_pos, r_flag = x_ref(nb_hi_big, nb_lo_big, act_bl)
-        s_hit, s_pos, s_info, s_flag = x_snp(nb_hi_big, nb_lo_big, act_bl)
-        z8 = jnp.zeros_like(s_info)
-        outs.append((
-            interleave(act_bl & r_hit, act_bl & s_hit),
-            interleave(jnp.ones_like(act_bl), jnp.zeros_like(act_bl)),
-            interleave(r_pos, s_pos),
-            interleave(r_flag, s_flag),
-            interleave(z8, s_info),
-            interleave(nb_hi_big, nb_hi_big),
-            interleave(nb_lo_big, nb_lo_big),
-            interleave(bgrid + 0 * r_pos.astype(I32),
-                       bgrid + 0 * s_pos.astype(I32))))
 
-        # --- hi-half probes (qv.cc:1213-1365) ---
         bgrid_h = bgrid + 16
         bitpos = 2 * bgrid_h
         cur_h = ((it_hi[:, None] >> (2 * bgrid).astype(U32)) & U32(3))
@@ -225,21 +228,43 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         act_snp = (it_valid[:, None] & base_ok
                    & (big[:, None] | (bitpos >= 40))
                    & (bitpos < snp_bound[:, None]))
-        rh_hit, rh_pos, rh_flag = x_ref(nb_hi_h, nb_lo_h, act_ref)
-        sh_hit, sh_pos, sh_info, sh_flag = x_snp(nb_hi_h, nb_lo_h, act_snp)
-        outs.append((
-            interleave(act_ref & rh_hit, act_snp & sh_hit),
-            interleave(jnp.ones_like(act_ref), jnp.zeros_like(act_snp)),
-            interleave(rh_pos, sh_pos),
-            interleave(rh_flag, sh_flag),
-            interleave(jnp.zeros_like(sh_info), sh_info),
-            interleave(nb_hi_h, nb_hi_h),
-            interleave(nb_lo_h, nb_lo_h),
-            interleave(bgrid_h + 0 * rh_pos.astype(I32),
-                       bgrid_h + 0 * sh_pos.astype(I32))))
 
-        cat = lambda i: jnp.concatenate([o[i] for o in outs], axis=1)
-        return tuple(cat(i) for i in range(8)) + (scan_overflow,)
+        # ONE sparse lookup per dictionary over the concatenated lo+hi
+        # grids (NI, 128): halves the prefilter/compaction op chains
+        q_hi_all = jnp.concatenate([nb_hi_big, nb_hi_h], axis=1)
+        q_lo_all = jnp.concatenate([nb_lo_big, nb_lo_h], axis=1)
+        act_ref_all = jnp.concatenate([act_bl, act_ref], axis=1)
+        act_snp_all = jnp.concatenate([act_bl, act_snp], axis=1)
+        x_ref = getattr(be, "exact_ref_sparse", be.exact_ref)
+        x_snp = getattr(be, "exact_snp_sparse", be.exact_snp)
+        r_hit, r_pos, r_flag = x_ref(q_hi_all, q_lo_all, act_ref_all)
+        s_hit, s_pos, s_info, s_flag = x_snp(q_hi_all, q_lo_all, act_snp_all)
+
+        diff_all = jnp.concatenate(
+            [jnp.broadcast_to(bgrid, (NI, 64)),
+             jnp.broadcast_to(bgrid_h, (NI, 64))], axis=1)
+        rows_ref = rows_of(
+            r_pos, q_hi_all, q_lo_all,
+            _pack_meta(jnp.ones((NI, 128), U32), diff_all, r_flag,
+                       jnp.zeros((NI, 128), U32)))
+        rows_snp = rows_of(
+            s_pos, q_hi_all, q_lo_all,
+            _pack_meta(jnp.zeros((NI, 128), U32), diff_all, s_flag,
+                       s_info))
+        hit_ref = act_ref_all & r_hit
+        hit_snp = act_snp_all & s_hit
+
+        def interleave(a_ref, a_snp):
+            # (NI, 128[, 4]) pair -> (NI, 256[, 4]) r0,s0,r1,s1,... order
+            trailing = a_ref.shape[2:]
+            return jnp.stack([a_ref, a_snp], axis=2).reshape(
+                (a_ref.shape[0], 2 * a_ref.shape[1]) + trailing)
+
+        p_hit = jnp.concatenate(
+            hit_scan + [interleave(hit_ref, hit_snp)], axis=1)
+        p_rows = jnp.concatenate(
+            rows_scan + [interleave(rows_ref, rows_snp)], axis=1)
+        return p_hit, p_rows, scan_overflow
 
     # ------------------------------------------------------------------
     def expand_probe_events(dix, p_is_ref, p_pos, p_flag, p_info, p_diff,
@@ -355,13 +380,15 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         it_hi = hi[it_b, it_k]
         it_lo = lo[it_b, it_k]
 
-        (p_hit, p_is_ref, p_pos, p_flag, p_info, p_nb_hi, p_nb_lo, p_diff,
-         scan_ovf) = neighbor_probes(be, dix, it_hi, it_lo, it_ok)
+        p_hit, p_rows, scan_ovf = neighbor_probes(be, dix, it_hi, it_lo,
+                                                  it_ok)
 
         # ---- flat probe-hit compaction (NI, P2) -> (NH,) ----
         # hits are sparse; compact them across the whole batch BEFORE the
         # 10-wide aux expansion so aux gathers, site checks and event
-        # scatters all run on ~real-hit-count lanes
+        # scatters all run on ~real-hit-count lanes. The probe fields are
+        # pre-packed as (pos, nb_hi, nb_lo, meta) rows: one 16-byte row
+        # gather materializes every field of the surviving hits.
         NH = max(64, 4 * NI)
         ph_flat = p_hit.reshape(-1)                  # item-major order
         ph_tgt = cumsum_mask(ph_flat) - 1
@@ -374,16 +401,17 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         h_s = jnp.maximum(ph_src, 0)
         h_item = h_s // P2
 
-        def fl(a, fill):
-            return jnp.where(h_ok, a.reshape(-1)[h_s], fill)
-
-        h_isref = fl(p_is_ref, False)
-        h_pos = fl(p_pos, U32(0))
-        h_flag = fl(p_flag, jnp.uint8(1))
-        h_info = fl(p_info, jnp.uint8(0))
-        h_nbhi = fl(p_nb_hi, U32(0))
-        h_nblo = fl(p_nb_lo, U32(0))
-        h_diff = fl(p_diff, 0)
+        h_rows = jnp.where(h_ok[:, None],
+                           jnp.take(p_rows.reshape(NI * P2, 4), h_s,
+                                    axis=0), U32(0))
+        h_pos = h_rows[:, 0]
+        h_nbhi = h_rows[:, 1]
+        h_nblo = h_rows[:, 2]
+        h_meta = h_rows[:, 3]
+        h_isref = (h_meta & U32(1)) != 0
+        h_diff = ((h_meta >> 1) & U32(0x3F)).astype(I32)
+        h_flag = ((h_meta >> 8) & U32(0xFF)).astype(jnp.uint8)
+        h_info = ((h_meta >> 16) & U32(0xFF)).astype(jnp.uint8)
         h_b = it_b[h_item]
         h_k = it_k[h_item]
 

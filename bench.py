@@ -105,9 +105,10 @@ def main():
     # grouped dispatch amortizes the tunneled dispatch link's round trips;
     # fall back to per-batch dispatch if the grouped program fails to build
     group = int(os.environ.get("VGT_BENCH_GROUP", "8"))
-    for g in (group, 1):
+    ladder = [(group, True), (1, True), (1, False)]
+    for i, (g, pv) in enumerate(ladder):
         cfg = GenoConfig(batch_reads=32768, max_read_len=128,
-                         max_kmers_per_read=4, pallas_vote=True,
+                         max_kmers_per_read=4, pallas_vote=pv,
                          group_size=g, pipeline_depth=2,
                          # measured workload maxima (ev_max=4, lowq 4.7%):
                          # 4x headroom, auto-retry escalates if ever hit
@@ -118,10 +119,10 @@ def main():
             runner.consume_fastq(fq, limit_batches=max(2, 2 * g))
             break
         except Exception as e:  # noqa: BLE001 - bench must self-heal
-            if g == 1:
+            if i == len(ladder) - 1:
                 raise
-            print(f"# grouped dispatch unavailable ({e!r}); "
-                  f"falling back to group_size=1", file=sys.stderr)
+            print(f"# config group={g} pallas={pv} failed ({e!r}); "
+                  f"falling back", file=sys.stderr)
 
     # median of full passes: the measurement environment (shared chip /
     # tunneled dispatch) shows 1.5-2x transient throughput swings, so a

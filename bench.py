@@ -20,10 +20,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-CACHE = "/tmp/vgt_bench48"
-N_READS = 262_144
-GENOME_MB = 48
-N_SNPS = 500_000
+CACHE = os.environ.get("VGT_BENCH_CACHE", "/tmp/vgt_bench48")
+N_READS = int(os.environ.get("VGT_BENCH_READS", 262_144))
+GENOME_MB = int(os.environ.get("VGT_BENCH_MB", 48))
+N_SNPS = int(os.environ.get("VGT_BENCH_SNPS", 500_000))
+BATCH = int(os.environ.get("VGT_BENCH_BATCH", 32768))
+PASSES = int(os.environ.get("VGT_BENCH_PASSES", 5))
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 REF_BINARY = "/tmp/refbuild/vargeno"
@@ -107,7 +109,7 @@ def main():
     group = int(os.environ.get("VGT_BENCH_GROUP", "8"))
     ladder = [(group, True), (1, True), (1, False)]
     for i, (g, pv) in enumerate(ladder):
-        cfg = GenoConfig(batch_reads=32768, max_read_len=128,
+        cfg = GenoConfig(batch_reads=BATCH, max_read_len=128,
                          max_kmers_per_read=4, pallas_vote=pv,
                          group_size=g, pipeline_depth=2,
                          # measured workload maxima (ev_max=4, lowq 4.7%):
@@ -128,7 +130,7 @@ def main():
     # tunneled dispatch) shows 1.5-2x transient throughput swings, so a
     # single long pass is a lottery; the median pass is the steady state
     rates = []
-    for _ in range(5):
+    for _ in range(PASSES):
         t0 = time.time()
         n0 = runner.n_reads
         runner.consume_fastq(fq)

@@ -154,9 +154,9 @@ def test_derived_table_cache_roundtrip(mini_index, tmp_path):
 
     assert os.path.exists(prefix + ".vgt/derived/meta.json")
     b = build_device_index(store.load(prefix))   # mmap-loads cache
-    for f in ("ref_ht", "snp_ht", "ref_pf", "snp_pf"):
+    for f in ("both_ht", "both_pf", "ref_jg", "snp_jg"):
         assert (np.asarray(getattr(a, f)) == np.asarray(getattr(b, f))).all()
-    assert (a.ref_ht_nb, a.ref_ht_chain, a.snp_ht_nb, a.snp_ht_chain) == \
-        (b.ref_ht_nb, b.ref_ht_chain, b.snp_ht_nb, b.snp_ht_chain)
+    assert (a.both_ht_nb, a.both_ht_chain, a.ref_win_rows) == \
+        (b.both_ht_nb, b.both_ht_chain, b.ref_win_rows)
     store.save_dir(prefix, mini_index)           # rebuild wipes the cache
     assert not os.path.isdir(prefix + ".vgt/derived")

@@ -83,11 +83,10 @@ class GenoConfig:
                                    # is re-run with the tripped caps doubled
                                    # (0 disables; results then may diverge
                                    # from the reference on overflow)
-    sparse_exact_snp: bool = False  # primary-grid exact snp lookups go
-                                   # through the one-bit prefilter (most
-                                   # read kmers miss the snp dict; misses
-                                   # then cost one word gather instead of
-                                   # a bucket-chain row gather)
+    sparse_exact_snp: bool = False  # (two-call fallback backends only --
+                                   # the combined tagged table answers
+                                   # both dicts in one gather, making
+                                   # this inert for LocalBackend)
     pallas_vote: bool = False      # VMEM-resident vote kernel (TPU only)
     pallas_interpret: bool = False  # run Pallas kernels interpreted (CPU)
     pre_encode: bool = True        # host-side kmer packing in queued mode:

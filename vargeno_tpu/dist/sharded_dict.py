@@ -429,21 +429,19 @@ class ShardedDictGenoRunner:
             site_rank=jax.device_put(base.site_rank, rsh),
             site_dir=jax.device_put(base.site_dir, rsh),
             site_ra=jax.device_put(base.site_ra, rsh),
-            ref_ht=jax.device_put(dummy_ht, rsh),
-            snp_ht=jax.device_put(dummy_ht, rsh),
+            both_ht=jax.device_put(dummy_ht, rsh),
             ref_jg=jax.device_put(dummy_ht.reshape(-1)[:2], rsh),
             snp_jg=jax.device_put(dummy_ht.reshape(-1)[:2], rsh),
-            ref_pf=jax.device_put(dummy_ht.reshape(-1), rsh),
-            snp_pf=jax.device_put(dummy_ht.reshape(-1), rsh),
+            both_pf=jax.device_put(dummy_ht.reshape(-1), rsh),
             snp_bf_bits=base.snp_bf_bits, ref_bf_bits=base.ref_bf_bits,
-            ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1, snp_ht_chain=1,
+            both_ht_nb=1, both_ht_chain=1,
             ref_win_rows=1,
             # shard blocks are whole global blocks (boundaries snap to
             # key changes), so the global maxima bound per-shard scans
             ref_scan_max=base.ref_scan_max, snp_scan_max=base.snp_scan_max,
             n_ref_rows=stacked["ref_hi"].shape[1],
             n_snp_rows=stacked["snp_hi"].shape[1],
-            ref_pf_bits=1024, snp_pf_bits=1024,
+            both_pf_bits=1024,
         )
         arg_host = ShardedIndexArg(
             dix=shard_dix,
@@ -505,18 +503,17 @@ class ShardedDictGenoRunner:
                     ref_bf=none, snp_bf=none,
                     site_pos=none, site_ref=none, site_alt=none,
                     site_bitmap=none, site_rank=none, site_dir=none,
-                    site_ra=none, ref_ht=none, snp_ht=none,
-                    ref_jg=none, snp_jg=none, ref_pf=none, snp_pf=none,
+                    site_ra=none, both_ht=none,
+                    ref_jg=none, snp_jg=none, both_pf=none,
                     snp_bf_bits=base.snp_bf_bits,
                     ref_bf_bits=base.ref_bf_bits,
-                    ref_ht_nb=1, ref_ht_chain=1, snp_ht_nb=1,
-                    snp_ht_chain=1,
+                    both_ht_nb=1, both_ht_chain=1,
                     ref_win_rows=1,
                     ref_scan_max=self.arg.dix.ref_scan_max,
                     snp_scan_max=self.arg.dix.snp_scan_max,
                     n_ref_rows=self.arg.dix.n_ref_rows,
                     n_snp_rows=self.arg.dix.n_snp_rows,
-                    ref_pf_bits=1024, snp_pf_bits=1024),
+                    both_pf_bits=1024),
                 plan=ShardPlan(ref_bounds_hi=none, snp_bounds_hi24=none),
                 my_ref_owned=P(axis), my_snp_owned=P(axis),
                 my_ref_total=P(axis), my_snp_total=P(axis))

@@ -70,42 +70,48 @@ class LocalBackend:
         self.sparse_frac = sparse_frac
         self._bounds_memo: dict = {}
 
-    # --- exact queries (one bucket-row gather per probe; hashtable.py) ---
+    # --- exact queries: ONE bucket-row gather chain answers both
+    # dictionaries (combined tagged table; hashtable.ht_lookup_both) ---
 
-    def exact_ref(self, q_hi, q_lo, valid=None):
-        """(hit, pos, flag); masked lanes' gathers coalesce to bucket 0"""
-        from .hashtable import ht_lookup
+    def exact_both(self, q_hi, q_lo, valid=None):
+        """(r_hit, r_pos, r_flag, s_hit, s_pos, s_info, s_flag); masked
+        lanes' gathers coalesce to bucket 0."""
+        from .hashtable import ht_lookup_both
 
         d = self.dix
-        hit, pos, flag, _ = ht_lookup(d.ref_ht, d.ref_ht_nb, d.ref_ht_chain,
-                                      q_hi, q_lo, valid)
-        return hit, pos, flag
+        return ht_lookup_both(d.both_ht, d.both_ht_nb, d.both_ht_chain,
+                              q_hi, q_lo, valid)
+
+    def exact_ref(self, q_hi, q_lo, valid=None):
+        """(hit, pos, flag)"""
+        r = self.exact_both(q_hi, q_lo, valid)
+        return r[0], r[1], r[2]
 
     def exact_snp(self, q_hi, q_lo, valid=None):
         """(hit, pos, info, flag)"""
-        from .hashtable import ht_lookup
+        r = self.exact_both(q_hi, q_lo, valid)
+        return r[3], r[4], r[5], r[6]
 
-        d = self.dix
-        hit, pos, flag, info = ht_lookup(d.snp_ht, d.snp_ht_nb,
-                                         d.snp_ht_chain, q_hi, q_lo, valid)
-        return hit, pos, info, flag
-
-    # sparse variants: for probe sets that overwhelmingly MISS (Hamming
-    # neighbors), test the one-bit full-key prefilter first and pay the
-    # bucket-chain gathers only for the ~3% of lanes that pass
+    # sparse variant: for probe sets that overwhelmingly MISS (Hamming
+    # neighbors), test the one-bit union prefilter first and pay the
+    # bucket-chain gathers only for the few % of lanes that pass
     sparse_overflow = None
 
-    def _sparse(self, pf, pf_bits, ht, nb, chain, q_hi, q_lo, valid):
-        from .hashtable import ht_lookup, prefilter_test
+    def exact_both_sparse(self, q_hi, q_lo, act_ref, act_snp):
+        """Prefiltered combined lookup over lanes where either dictionary
+        is being probed; one compaction, one chain of row gathers, one
+        packed scatter-back. Returns the exact_both 7-tuple with hits
+        masked by the per-dict activity masks."""
+        from .hashtable import ht_lookup_both, prefilter_test
 
+        d = self.dix
         shp = q_hi.shape
         qh = q_hi.reshape(-1)
         ql = q_lo.reshape(-1)
-        v = (jnp.ones_like(qh, dtype=bool) if valid is None
-             else valid.reshape(-1))
+        v = (act_ref | act_snp).reshape(-1)
         N = qh.shape[0]
         NS = max(64, min(N, int(N * self.sparse_frac)))
-        maybe = prefilter_test(pf, pf_bits, qh, ql, v)
+        maybe = prefilter_test(d.both_pf, d.both_pf_bits, qh, ql, v)
         tgt = cumsum_mask(maybe) - 1
         keep = maybe & (tgt < NS)
         ovf = jnp.sum(maybe) - jnp.sum(keep)
@@ -117,33 +123,26 @@ class LocalBackend:
                 jnp.arange(N, dtype=I32), mode="drop")
         s_ok = jnp.zeros(NS, bool).at[
             jnp.where(keep, tgt, NS)].set(True, mode="drop")
-        hit, pos, flag, info = ht_lookup(ht, nb, chain, qh[srcs], ql[srcs])
-        hit = hit & s_ok
-        # scatter back to lanes
-        full_hit = jnp.zeros(N, bool).at[
-            jnp.where(s_ok, srcs, N)].set(hit, mode="drop")
-        full_pos = jnp.zeros(N, U32).at[
-            jnp.where(s_ok, srcs, N)].set(pos, mode="drop")
-        full_flag = jnp.zeros(N, jnp.uint8).at[
-            jnp.where(s_ok, srcs, N)].set(flag, mode="drop")
-        full_info = jnp.zeros(N, jnp.uint8).at[
-            jnp.where(s_ok, srcs, N)].set(info, mode="drop")
-        return (full_hit.reshape(shp), full_pos.reshape(shp),
-                full_flag.reshape(shp), full_info.reshape(shp))
-
-    def exact_ref_sparse(self, q_hi, q_lo, valid=None):
-        d = self.dix
-        hit, pos, flag, _ = self._sparse(
-            d.ref_pf, d.ref_pf_bits, d.ref_ht, d.ref_ht_nb, d.ref_ht_chain,
-            q_hi, q_lo, valid)
-        return hit, pos, flag
-
-    def exact_snp_sparse(self, q_hi, q_lo, valid=None):
-        d = self.dix
-        hit, pos, flag, info = self._sparse(
-            d.snp_pf, d.snp_pf_bits, d.snp_ht, d.snp_ht_nb, d.snp_ht_chain,
-            q_hi, q_lo, valid)
-        return hit, pos, info, flag
+        (r_hit, r_pos, r_flag, s_hit, s_pos, s_info, s_flag) = \
+            ht_lookup_both(d.both_ht, d.both_ht_nb, d.both_ht_chain,
+                           qh[srcs], ql[srcs])
+        # one packed scatter-back: [r_pos, s_pos, bits] rows
+        bits = (r_hit.astype(U32) | (s_hit.astype(U32) << 1)
+                | (r_flag.astype(U32) << 8) | (s_flag.astype(U32) << 16)
+                | (s_info.astype(U32) << 24))
+        rows = jnp.stack([r_pos, s_pos, bits], axis=-1)      # (NS, 3)
+        rows = jnp.where(s_ok[:, None], rows, U32(0))
+        full = jnp.zeros((N, 3), U32).at[
+            jnp.where(s_ok, srcs, N)].set(rows, mode="drop")
+        fr_pos = full[:, 0].reshape(shp)
+        fs_pos = full[:, 1].reshape(shp)
+        fb = full[:, 2].reshape(shp)
+        fr_hit = ((fb & U32(1)) != 0) & act_ref
+        fs_hit = ((fb & U32(2)) != 0) & act_snp
+        fr_flag = ((fb >> 8) & U32(0xFF)).astype(jnp.uint8)
+        fs_flag = ((fb >> 16) & U32(0xFF)).astype(jnp.uint8)
+        fs_info = ((fb >> 24) & U32(0xFF)).astype(jnp.uint8)
+        return (fr_hit, fr_pos, fr_flag, fs_hit, fs_pos, fs_info, fs_flag)
 
     def _ref_block_bounds(self, q_hi):
         """(start_row, size) of the hi32 jumpgate block (the reference's

@@ -229,16 +229,22 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                    & (big[:, None] | (bitpos >= 40))
                    & (bitpos < snp_bound[:, None]))
 
-        # ONE sparse lookup per dictionary over the concatenated lo+hi
-        # grids (NI, 128): halves the prefilter/compaction op chains
+        # ONE sparse combined lookup over the concatenated lo+hi grids
+        # (NI, 128): one prefilter test + one row-gather chain answers
+        # both dictionaries for every neighbor probe
         q_hi_all = jnp.concatenate([nb_hi_big, nb_hi_h], axis=1)
         q_lo_all = jnp.concatenate([nb_lo_big, nb_lo_h], axis=1)
         act_ref_all = jnp.concatenate([act_bl, act_ref], axis=1)
         act_snp_all = jnp.concatenate([act_bl, act_snp], axis=1)
-        x_ref = getattr(be, "exact_ref_sparse", be.exact_ref)
-        x_snp = getattr(be, "exact_snp_sparse", be.exact_snp)
-        r_hit, r_pos, r_flag = x_ref(q_hi_all, q_lo_all, act_ref_all)
-        s_hit, s_pos, s_info, s_flag = x_snp(q_hi_all, q_lo_all, act_snp_all)
+        if hasattr(be, "exact_both_sparse"):
+            (r_hit, r_pos, r_flag, s_hit, s_pos, s_info, s_flag) = \
+                be.exact_both_sparse(q_hi_all, q_lo_all, act_ref_all,
+                                     act_snp_all)
+        else:  # routed backend: per-dict all_to_all lookups
+            r_hit, r_pos, r_flag = be.exact_ref(q_hi_all, q_lo_all,
+                                                act_ref_all)
+            s_hit, s_pos, s_info, s_flag = be.exact_snp(q_hi_all, q_lo_all,
+                                                        act_snp_all)
 
         diff_all = jnp.concatenate(
             [jnp.broadcast_to(bgrid, (NI, 64)),
@@ -308,14 +314,19 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         B, K, E, C, NI, H = sh.B, sh.K, sh.E, sh.C, sh.NI, sh.H
         hi, lo, kmer_valid, read_ok = enc
 
-        r_hit, r_pos, r_flag = be.exact_ref(hi, lo, kmer_valid)
-        if cfg.sparse_exact_snp:
-            # most read kmers miss the snp dict; the one-bit prefilter
-            # turns those misses into a single word gather each
-            x_snp0 = getattr(be, "exact_snp_sparse", be.exact_snp)
-            s_hit, s_pos, s_info, s_flag = x_snp0(hi, lo, kmer_valid)
+        if hasattr(be, "exact_both"):
+            # combined tagged table: one bucket-row gather chain answers
+            # both dictionaries for the whole primary grid
+            (r_hit, r_pos, r_flag, s_hit, s_pos, s_info, s_flag) = \
+                be.exact_both(hi, lo, kmer_valid)
         else:
-            s_hit, s_pos, s_info, s_flag = be.exact_snp(hi, lo, kmer_valid)
+            r_hit, r_pos, r_flag = be.exact_ref(hi, lo, kmer_valid)
+            if cfg.sparse_exact_snp:
+                x_snp0 = getattr(be, "exact_snp_sparse", be.exact_snp)
+                s_hit, s_pos, s_info, s_flag = x_snp0(hi, lo, kmer_valid)
+            else:
+                s_hit, s_pos, s_info, s_flag = be.exact_snp(hi, lo,
+                                                            kmer_valid)
         r_hit = r_hit & kmer_valid
         s_hit = s_hit & kmer_valid
 

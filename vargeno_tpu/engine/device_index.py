@@ -58,13 +58,14 @@ class DeviceIndex:
     #  pileup scatter -- the TPU analog of sdsl's rank_support_v)
     site_dir: jax.Array    # (nwords, 2) u32 [bitmap_word, rank]: one-gather
     site_ra: jax.Array     # (s,) u32 ref | alt<<8: one-gather allele pair
-    # bucketized hash tables for exact lookups (engine.hashtable)
-    ref_ht: jax.Array      # (nb_r, 32) u32
-    snp_ht: jax.Array      # (nb_s, 32) u32
-    # full-key membership prefilters (engine.hashtable.prefilter_*):
-    # sparse probe sets test one bit before paying the bucket-chain gathers
-    ref_pf: jax.Array      # (pf_bits/32,) u32
-    snp_pf: jax.Array
+    # ONE bucketized hash table answers exact lookups in BOTH dictionaries
+    # (engine.hashtable): ref and snp rows share buckets, tagged in flag
+    # bit 7, so a probe pays one bucket-row gather for two answers
+    both_ht: jax.Array     # (nb, 32) u32
+    # full-key membership prefilter over the union of both key sets
+    # (engine.hashtable.prefilter_*): sparse probe sets test one bit
+    # before paying the bucket-chain gathers
+    both_pf: jax.Array     # (pf_bits/32,) u32
     # block jumpgates: prefix-count arrays over the top 24 key bits.
     # snp blocks ARE hi24 blocks (reference 2^24 jumpgate, qv.cc:615), so
     # snp_jg[h24] / snp_jg[h24+1] give exact bounds in two 4-byte gathers.
@@ -78,12 +79,9 @@ class DeviceIndex:
     # static metadata
     snp_bf_bits: int = dataclasses.field(metadata=dict(static=True))
     ref_bf_bits: int = dataclasses.field(metadata=dict(static=True))
-    ref_ht_nb: int = dataclasses.field(metadata=dict(static=True))
-    ref_ht_chain: int = dataclasses.field(metadata=dict(static=True))
-    snp_ht_nb: int = dataclasses.field(metadata=dict(static=True))
-    snp_ht_chain: int = dataclasses.field(metadata=dict(static=True))
-    ref_pf_bits: int = dataclasses.field(metadata=dict(static=True))
-    snp_pf_bits: int = dataclasses.field(metadata=dict(static=True))
+    both_ht_nb: int = dataclasses.field(metadata=dict(static=True))
+    both_ht_chain: int = dataclasses.field(metadata=dict(static=True))
+    both_pf_bits: int = dataclasses.field(metadata=dict(static=True))
     # rows of 32 ref_hi values a hi32 block-bounds query must gather to
     # cover the largest hi24 block (build-time measured)
     ref_win_rows: int = dataclasses.field(metadata=dict(static=True))
@@ -111,7 +109,7 @@ class DeviceIndex:
         return self.site_pos.shape[0]
 
 
-_DERIVED_VERSION = 1  # bump when table layouts / hash family change
+_DERIVED_VERSION = 2  # bump when table layouts / hash family change
 
 
 class _DerivedCache:
@@ -257,21 +255,22 @@ def build_device_index(index: VarGenoIndex,
                           n_snp=int(snp_hi.shape[0]))
     if skip_tables:
         dummy = np.zeros((1, 32), np.uint32)
-        ref_tab = HostHashTable(table=dummy, nb=1, chain=1)
-        snp_tab = HostHashTable(table=dummy, nb=1, chain=1)
-    elif cache.has("ref_ht", "snp_ht", "ref_nb", "ref_chain", "snp_nb",
-                   "snp_chain"):
-        ref_tab = HostHashTable(table=cache.load("ref_ht"),
-                                nb=cache.meta["ref_nb"],
-                                chain=cache.meta["ref_chain"])
-        snp_tab = HostHashTable(table=cache.load("snp_ht"),
-                                nb=cache.meta["snp_nb"],
-                                chain=cache.meta["snp_chain"])
+        both_tab = HostHashTable(table=dummy, nb=1, chain=1)
+    elif cache.has("both_ht", "both_nb", "both_chain"):
+        both_tab = HostHashTable(table=cache.load("both_ht"),
+                                 nb=cache.meta["both_nb"],
+                                 chain=cache.meta["both_chain"])
     else:
-        ref_tab = build_hash_table(ref_hi, ref_lo, ref_pos_a, ref_flag_a,
-                                   None)
-        snp_tab = build_hash_table(snp_hi, snp_lo, snp_pos_a, snp_flag_a,
-                                   snp_info_a)
+        # one table holds both dictionaries: snp rows carry tag bit 7 in
+        # the flag byte (reference flags use bit 0 only), so one bucket
+        # probe answers exact lookups in BOTH dicts
+        both_tab = build_hash_table(
+            np.concatenate([ref_hi, snp_hi]),
+            np.concatenate([ref_lo, snp_lo]),
+            np.concatenate([ref_pos_a, snp_pos_a]),
+            np.concatenate([ref_flag_a,
+                            snp_flag_a | np.uint8(0x80)]),
+            np.concatenate([np.zeros_like(ref_flag_a), snp_info_a]))
 
     def jumpgate24(keys_hi24):
         """Prefix counts over the top 24 key bits: block h24 occupies rows
@@ -335,21 +334,19 @@ def build_device_index(index: VarGenoIndex,
         return min(b, 1 << 32)
 
     if skip_tables:
-        ref_pf_bits = snp_pf_bits = 1024
-        ref_pf = snp_pf = np.zeros(1024 // 32, np.uint32)
+        both_pf_bits = 1024
+        both_pf = np.zeros(1024 // 32, np.uint32)
     else:
-        ref_pf_bits = pf_size(ref_hi.shape[0])
-        snp_pf_bits = pf_size(snp_hi.shape[0])
-        if cache.has("ref_pf", "snp_pf"):
-            ref_pf = cache.load("ref_pf")
-            snp_pf = cache.load("snp_pf")
+        both_pf_bits = pf_size(ref_hi.shape[0] + snp_hi.shape[0])
+        if cache.has("both_pf"):
+            both_pf = cache.load("both_pf")
         else:
-            ref_pf = prefilter_bits(ref_hi, ref_lo, ref_pf_bits)
-            snp_pf = prefilter_bits(snp_hi, snp_lo, snp_pf_bits)
-            cache.save(ref_ht=ref_tab.table, snp_ht=snp_tab.table,
-                       ref_pf=ref_pf, snp_pf=snp_pf,
-                       meta=dict(ref_nb=ref_tab.nb, ref_chain=ref_tab.chain,
-                                 snp_nb=snp_tab.nb, snp_chain=snp_tab.chain))
+            both_pf = prefilter_bits(
+                np.concatenate([ref_hi, snp_hi]),
+                np.concatenate([ref_lo, snp_lo]), both_pf_bits)
+            cache.save(both_ht=both_tab.table, both_pf=both_pf,
+                       meta=dict(both_nb=both_tab.nb,
+                                 both_chain=both_tab.chain))
 
     ref_hi, ref_lo = pad32(ref_hi), pad32(ref_lo)
     ref_pos_a, ref_flag_a = pad32(ref_pos_a), pad32(ref_flag_a)
@@ -367,11 +364,9 @@ def build_device_index(index: VarGenoIndex,
 
     dev = (lambda a: a) if host_only else jax.device_put
     return DeviceIndex(
-        ref_ht=dev(ref_tab.table), snp_ht=dev(snp_tab.table),
-        ref_ht_nb=ref_tab.nb, ref_ht_chain=ref_tab.chain,
-        snp_ht_nb=snp_tab.nb, snp_ht_chain=snp_tab.chain,
-        ref_pf=dev(ref_pf), snp_pf=dev(snp_pf),
-        ref_pf_bits=ref_pf_bits, snp_pf_bits=snp_pf_bits,
+        both_ht=dev(both_tab.table),
+        both_ht_nb=both_tab.nb, both_ht_chain=both_tab.chain,
+        both_pf=dev(both_pf), both_pf_bits=both_pf_bits,
         ref_jg=dev(ref_jg), snp_jg=dev(snp_jg),
         ref_win_rows=ref_win_rows,
         ref_scan_max=ref_scan_max, snp_scan_max=snp_scan_max,

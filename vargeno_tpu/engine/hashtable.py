@@ -148,6 +148,60 @@ def prefilter_test(words, pf_bits: int, q_hi, q_lo, valid=None):
     return hitbit if valid is None else (hitbit & valid)
 
 
+def ht_lookup_both(table2d, nb: int, chain: int, q_hi, q_lo, valid=None):
+    """Combined-table lookup: ref and snp rows share buckets (snp rows
+    carry tag bit 7 in the flag byte), so ONE chain of bucket-row gathers
+    answers exact membership in BOTH dictionaries.
+
+    Returns (r_hit, r_pos, r_flag, s_hit, s_pos, s_info, s_flag)."""
+    h = hash32(q_lo) ^ (hash32(q_hi) * U32(_MIX))
+    b = (h & U32(nb - 1)).astype(jnp.int32)
+    if valid is not None:
+        b = jnp.where(valid, b, 0)
+    S = table2d.shape[1] // 4
+    shp = q_hi.shape
+    r_found = jnp.zeros(shp, bool)
+    s_found = jnp.zeros(shp, bool)
+    r_pos = jnp.zeros(shp, U32)
+    s_pos = jnp.zeros(shp, U32)
+    r_meta = jnp.zeros(shp, U32)
+    s_meta = jnp.zeros(shp, U32)
+    for c in range(chain):
+        row = jnp.take(table2d, (b + c) % nb, axis=0)
+        row = row.reshape(shp + (S, 4))
+        meta = row[..., 3]
+        occ = (meta >> 31) != 0
+        keyeq = occ & (row[..., 0] == q_hi[..., None]) & (
+            row[..., 1] == q_lo[..., None])
+        tag_snp = (meta & U32(0x80)) != 0
+        for is_snp in (False, True):
+            m = keyeq & (tag_snp if is_snp else ~tag_snp)
+            anym = jnp.any(m, axis=-1)
+            sel_pos = jnp.sum(jnp.where(m, row[..., 2], 0), axis=-1)
+            sel_meta = jnp.sum(jnp.where(m, meta, 0), axis=-1)
+            if is_snp:
+                new = anym & ~s_found
+                s_pos = jnp.where(new, sel_pos, s_pos)
+                s_meta = jnp.where(new, sel_meta, s_meta)
+                s_found = s_found | anym
+            else:
+                new = anym & ~r_found
+                r_pos = jnp.where(new, sel_pos, r_pos)
+                r_meta = jnp.where(new, sel_meta, r_meta)
+                r_found = r_found | anym
+    if valid is not None:
+        r_found = r_found & valid
+        s_found = s_found & valid
+        r_pos = jnp.where(valid, r_pos, U32(0))
+        s_pos = jnp.where(valid, s_pos, U32(0))
+        r_meta = jnp.where(valid, r_meta, U32(0))
+        s_meta = jnp.where(valid, s_meta, U32(0))
+    r_flag = (r_meta & U32(0x7F)).astype(jnp.uint8)
+    s_flag = (s_meta & U32(0x7F)).astype(jnp.uint8)
+    s_info = ((s_meta >> 16) & U32(0xFF)).astype(jnp.uint8)
+    return r_found, r_pos, r_flag, s_found, s_pos, s_info, s_flag
+
+
 def ht_lookup(table2d, nb: int, chain: int, q_hi, q_lo, valid=None):
     """Returns (hit, pos, flag, info) for any query shape.
 

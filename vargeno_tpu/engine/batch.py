@@ -435,6 +435,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                          snp_scan_overflow=scan_ovf)
             z = jnp.zeros((B, E), U32)
             buf = dict(idx=z, kpos=z, nbhi=z, nblo=z,
+                       packed=jnp.zeros((B, E, 5), U32),
                        modif=z.astype(I32), k=z.astype(I32),
                        isnb=z != 0, valid=z != 0)
             return dict(buf=buf, process=jnp.zeros(B, bool),
@@ -526,6 +527,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         pk = packed[:, :E]
         buf = dict(
+            packed=pk,   # (B, E, 5) rows: pileup gathers contexts in ONE op
             idx=pk[..., 0],
             kpos=pk[..., 1],
             nbhi=pk[..., 2],
@@ -663,13 +665,16 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         f_ok = src_idx >= 0
         s = jnp.maximum(src_idx, 0)
 
-        def fl(a, fill):
-            return jnp.where(f_ok, a.reshape(-1)[s], fill)
-
-        a_kpos = fl(buf["kpos"], U32(0))
-        a_nbhi = fl(buf["nbhi"], U32(0))
-        a_nblo = fl(buf["nblo"], U32(0))
-        a_modif = fl(buf["modif"], _NO_MOD)
+        # one (FA, 5) row gather materializes every field of the agreeing
+        # contexts (invalid lanes read zero rows; f_ok masks them off)
+        rows = jnp.where(f_ok[:, None],
+                         jnp.take(buf["packed"].reshape(B * E, 5), s,
+                                  axis=0), U32(0))
+        a_kpos = rows[:, 1]
+        a_nbhi = rows[:, 2]
+        a_nblo = rows[:, 3]
+        a_modif = jnp.where(f_ok, (rows[:, 4] & U32(0xFFFF)).astype(I32),
+                            _NO_MOD)
 
         # A context covers 32 CONSECUTIVE genome positions, so its site
         # membership lives in just two bitmap words: fetch [bitmap, rank]

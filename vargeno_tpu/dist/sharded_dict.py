@@ -413,13 +413,12 @@ class ShardedDictGenoRunner:
             ref_hi=jax.device_put(stacked["ref_hi"], dsh),
             ref_lo=jax.device_put(stacked["ref_lo"], dsh),
             ref_meta=jax.device_put(stacked["ref_meta"], dsh),
-            ref_aux=jax.device_put(base.ref_aux, rsh),
+            aux_all=jax.device_put(base.aux_all, rsh),
+            n_ref_aux=base.n_ref_aux,
             snp_hi=jax.device_put(stacked["snp_hi"], dsh),
             snp_lo=jax.device_put(stacked["snp_lo"], dsh),
             snp_meta=jax.device_put(stacked["snp_meta"], dsh),
             snp_test=jax.device_put(stacked["snp_test"], dsh),
-            snp_aux_pos=jax.device_put(base.snp_aux_pos, rsh),
-            snp_aux_snp=jax.device_put(base.snp_aux_snp, rsh),
             ref_bf=jax.device_put(base.ref_bf, rsh),
             snp_bf=jax.device_put(base.snp_bf, rsh),
             site_pos=jax.device_put(base.site_pos, rsh),
@@ -496,10 +495,9 @@ class ShardedDictGenoRunner:
             shard_specs = ShardedIndexArg(
                 dix=DeviceIndex(
                     ref_hi=P(axis), ref_lo=P(axis), ref_meta=P(axis),
-                    ref_aux=none,
+                    aux_all=none, n_ref_aux=base.n_ref_aux,
                     snp_hi=P(axis), snp_lo=P(axis), snp_meta=P(axis),
                     snp_test=P(axis),
-                    snp_aux_pos=none, snp_aux_snp=none,
                     ref_bf=none, snp_bf=none,
                     site_pos=none, site_ref=none, site_alt=none,
                     site_bitmap=none, site_rank=none, site_dir=none,

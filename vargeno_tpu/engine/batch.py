@@ -281,16 +281,19 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         unamb = p_flag == 0
 
         # aux rows are only read for ambiguous hits (a few percent);
-        # coalesce the rest onto row 0 so their gathers share one line
+        # coalesce the rest onto row 0 so their gathers share one line.
+        # Both dicts' tables live in one (m_r+m_s, 10, 2) array, so ONE
+        # row gather yields positions and snp_info together.
         need_aux = usable & ~unamb
         aux_p = jnp.where(need_aux, p_pos, U32(0))
-        aux_row = jnp.minimum(aux_p, U32(dix.ref_aux.shape[0] - 1))
-        aux_row_s = jnp.minimum(aux_p, U32(dix.snp_aux_pos.shape[0] - 1))
-        aux_pos = jnp.where(
-            p_is_ref[..., None],
-            take(dix.ref_aux, aux_row.astype(I32)),
-            take(dix.snp_aux_pos, aux_row_s.astype(I32)))
-        aux_snp = take(dix.snp_aux_snp, aux_row_s.astype(I32))
+        m_r = dix.n_ref_aux
+        m_s = dix.aux_all.shape[0] - m_r
+        aux_row = jnp.where(
+            p_is_ref, jnp.minimum(aux_p, U32(m_r - 1)),
+            U32(m_r) + jnp.minimum(aux_p, U32(max(m_s - 1, 0))))
+        aux_rows = take(dix.aux_all, aux_row.astype(I32))  # (..., 10, 2)
+        aux_pos = aux_rows[..., 0]
+        aux_snp = aux_rows[..., 1]
 
         col0 = (jnp.arange(10) == 0)
         kpos = jnp.where(unamb[..., None] & col0, p_pos[..., None], aux_pos)
@@ -301,8 +304,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         site_pos_chk = jnp.where(live, kpos + diff_u[..., None], U32(0))
         is_site = search.bitmap_test(dix.site_bitmap, site_pos_chk)
         snp_off = ((jnp.where(unamb[..., None] & col0,
-                              p_info[..., None], aux_snp) >> 3)
-                   & 0x1F).astype(I32)
+                              p_info[..., None].astype(U32), aux_snp) >> 3)
+                   & U32(0x1F)).astype(I32)
         check = jnp.where(p_is_ref[..., None], ~is_site,
                           snp_off != p_diff[..., None])
         ev_valid = usable[..., None] & col_valid & check
@@ -358,13 +361,12 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         na_isref = (na_s % 2) == 0
         na_auxrow = jnp.where(na_isref, r_pos[na_b, na_k],
                               s_pos[na_b, na_k])
-        na_aux = jnp.where(
-            na_isref[:, None],
-            take(dix.ref_aux, jnp.minimum(
-                na_auxrow, U32(dix.ref_aux.shape[0] - 1)).astype(I32)),
-            take(dix.snp_aux_pos, jnp.minimum(
-                na_auxrow,
-                U32(dix.snp_aux_pos.shape[0] - 1)).astype(I32)))
+        m_r = dix.n_ref_aux
+        m_s = dix.aux_all.shape[0] - m_r
+        na_row = jnp.where(
+            na_isref, jnp.minimum(na_auxrow, U32(m_r - 1)),
+            U32(m_r) + jnp.minimum(na_auxrow, U32(max(m_s - 1, 0))))
+        na_aux = take(dix.aux_all, na_row.astype(I32))[..., 0]
         na_colv = na_ok[:, None] & (na_aux != 0)
         na_count = jnp.sum(na_colv, axis=-1)                 # (NA,)
 
@@ -682,10 +684,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # per-base membership and site ids with pure vector math.
         w0 = (a_kpos >> 5).astype(I32)                        # (FA,)
         off = (a_kpos & U32(31)).astype(I32)
-        d0 = take(dix.site_dir, jnp.minimum(w0, nwords - 1))
-        d1 = take(dix.site_dir, jnp.minimum(w0 + 1, nwords - 1))
-        bm0, rk0 = d0[..., 0], d0[..., 1].astype(I32)
-        bm1, rk1 = d1[..., 0], d1[..., 1].astype(I32)
+        d = take(dix.site_dir, jnp.minimum(w0, nwords - 1))  # (FA, 4)
+        bm0, rk0 = d[..., 0], d[..., 1].astype(I32)
+        bm1, rk1 = d[..., 2], d[..., 3].astype(I32)
         bm0 = jnp.where(w0 < nwords, bm0, U32(0))
         bm1 = jnp.where((w0 + 1) < nwords, bm1, U32(0))
 

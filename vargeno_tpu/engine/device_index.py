@@ -35,15 +35,16 @@ class DeviceIndex:
     ref_hi: jax.Array      # (n,) u32
     ref_lo: jax.Array      # (n,) u32
     ref_meta: jax.Array    # (n, 2) u32 [pos, flag]
-    ref_aux: jax.Array     # (m, 10) u32
+    aux_all: jax.Array     # (m_r + m_s, 10, 2) u32 [pos, snp_info]: both
+                           # dicts' ambiguity tables in one array (snp rows
+                           # offset by n_ref_aux) -> one row gather per
+                           # ambiguous hit instead of three
     # snp dictionary: same packing; scans additionally test (lo, hi8)
     # at stride-bug indices, so those live in one packed row array too
     snp_hi: jax.Array
     snp_lo: jax.Array
     snp_meta: jax.Array    # (n, 2) u32 [pos, flag | info<<8]
     snp_test: jax.Array    # (n, 2) u32 [lo, hi & 0xFF]
-    snp_aux_pos: jax.Array  # (ms, 10) u32
-    snp_aux_snp: jax.Array  # (ms, 10) u8
     # Bloom filters (u32 words, LSB-first)
     ref_bf: jax.Array
     snp_bf: jax.Array
@@ -56,7 +57,9 @@ class DeviceIndex:
     # (succinct rank directory: site_id(pos) = site_rank[pos>>5] +
     #  popcount(bitmap[pos>>5] & low_mask), replacing binary search in the
     #  pileup scatter -- the TPU analog of sdsl's rank_support_v)
-    site_dir: jax.Array    # (nwords, 2) u32 [bitmap_word, rank]: one-gather
+    site_dir: jax.Array    # (nwords, 4) u32 [bm, rank, bm_next, rank_next]:
+                           # a 32-base context spans <=2 words; pairing each
+                           # word with its successor makes that ONE gather
     site_ra: jax.Array     # (s,) u32 ref | alt<<8: one-gather allele pair
     # ONE bucketized hash table answers exact lookups in BOTH dictionaries
     # (engine.hashtable): ref and snp rows share buckets, tagged in flag
@@ -79,6 +82,7 @@ class DeviceIndex:
     # static metadata
     snp_bf_bits: int = dataclasses.field(metadata=dict(static=True))
     ref_bf_bits: int = dataclasses.field(metadata=dict(static=True))
+    n_ref_aux: int = dataclasses.field(metadata=dict(static=True))
     both_ht_nb: int = dataclasses.field(metadata=dict(static=True))
     both_ht_chain: int = dataclasses.field(metadata=dict(static=True))
     both_pf_bits: int = dataclasses.field(metadata=dict(static=True))
@@ -207,7 +211,12 @@ def build_device_index(index: VarGenoIndex,
                      (np.uint32(1) << (sp & 31).astype(np.uint32)))
     pc = np.bitwise_count(bitmap).astype(np.int64)
     site_rank = np.concatenate([[0], np.cumsum(pc)[:-1]]).astype(np.int32)
-    site_dir = np.stack([bitmap, site_rank.view(np.uint32)], axis=1)
+    site_dir2 = np.stack([bitmap, site_rank.view(np.uint32)], axis=1)
+    # pair each word with its successor (last row's successor half is
+    # [0, 0]; the engine masks out-of-range words anyway)
+    site_dir = np.concatenate(
+        [site_dir2, np.concatenate([site_dir2[1:],
+                                    np.zeros((1, 2), np.uint32)])], axis=1)
 
     def u32pair(k):
         return ((k >> np.uint64(32)).astype(np.uint32),
@@ -373,11 +382,14 @@ def build_device_index(index: VarGenoIndex,
         n_ref_rows=n_ref_rows, n_snp_rows=n_snp_rows,
         ref_hi=dev(ref_hi), ref_lo=dev(ref_lo),
         ref_meta=dev(ref_meta),
-        ref_aux=dev(ref_aux_a),
+        aux_all=dev(np.concatenate([
+            np.stack([ref_aux_a.astype(np.uint32),
+                      np.zeros_like(ref_aux_a, np.uint32)], axis=-1),
+            np.stack([snp_aux_pos_a.astype(np.uint32),
+                      snp_aux_snp_a.astype(np.uint32)], axis=-1)])),
+        n_ref_aux=int(ref_aux_a.shape[0]),
         snp_hi=dev(snp_hi), snp_lo=dev(snp_lo),
         snp_meta=dev(snp_meta), snp_test=dev(snp_test),
-        snp_aux_pos=dev(snp_aux_pos_a),
-        snp_aux_snp=dev(snp_aux_snp_a),
         ref_bf=dev(index.ref_bf.as_u32()),
         snp_bf=dev(index.snp_bf.as_u32()),
         site_pos=dev(site_pos_a), site_ref=dev(site_ref_a),

@@ -118,11 +118,11 @@ class LocalBackend:
         if self.sparse_overflow is None:
             self.sparse_overflow = jnp.zeros((), I32)
         self.sparse_overflow = self.sparse_overflow + ovf
-        srcs = jnp.full(NS, 0, I32).at[
+        srcs = jnp.full(NS, -1, I32).at[
             jnp.where(keep, tgt, NS)].set(
                 jnp.arange(N, dtype=I32), mode="drop")
-        s_ok = jnp.zeros(NS, bool).at[
-            jnp.where(keep, tgt, NS)].set(True, mode="drop")
+        s_ok = srcs >= 0
+        srcs = jnp.maximum(srcs, 0)
         (r_hit, r_pos, r_flag, s_hit, s_pos, s_info, s_flag) = \
             ht_lookup_both(d.both_ht, d.both_ht_nb, d.both_ht_chain,
                            qh[srcs], ql[srcs])

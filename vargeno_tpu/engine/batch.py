@@ -480,7 +480,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                               jnp.broadcast_to(nbhi, shp),
                               jnp.broadcast_to(nblo, shp), meta], axis=-1)
 
-        # exact unambiguous: one event at its group's base slot
+        # exact unambiguous: one event at its group's base slot; ref and
+        # snp updates ride ONE scatter over (B, 2K) sources
         rows_b2 = jnp.arange(B)[:, None]
         kslot_arr = jnp.broadcast_to(jnp.arange(K, dtype=I32)[None, :],
                                      (B, K))
@@ -488,13 +489,13 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         g_exr = goff[:, 0::3]                                  # (B, K)
         g_exs = goff[:, 1::3]
         e_r = jnp.where(r_un_v & (g_exr < E), g_exr, E)
-        packed = packed.at[rows_b2, e_r].set(
-            words_for(r_pos, kslot_arr, hi, lo, no_mod, False, r_un_v),
-            mode="drop")
         e_s = jnp.where(s_un_v & (g_exs < E), g_exs, E)
-        packed = packed.at[rows_b2, e_s].set(
-            words_for(s_pos, kslot_arr, hi, lo, no_mod, False, s_un_v),
-            mode="drop")
+        e_rs = jnp.concatenate([e_r, e_s], axis=1)             # (B, 2K)
+        w_rs = jnp.concatenate(
+            [words_for(r_pos, kslot_arr, hi, lo, no_mod, False, r_un_v),
+             words_for(s_pos, kslot_arr, hi, lo, no_mod, False, s_un_v)],
+            axis=1)
+        packed = packed.at[rows_b2, e_rs].set(w_rs, mode="drop")
 
         # exact ambiguous: compacted (NA, 10) aux events
         na_g = goff[na_b, 3 * na_k + jnp.where(na_isref, 0, 1)]  # (NA,)

@@ -120,7 +120,8 @@ class LocalBackend:
         self.sparse_overflow = self.sparse_overflow + ovf
         srcs = jnp.full(NS, -1, I32).at[
             jnp.where(keep, tgt, NS)].set(
-                jnp.arange(N, dtype=I32), mode="drop")
+                jnp.arange(N, dtype=I32), mode="drop",
+                unique_indices=True)
         s_ok = srcs >= 0
         srcs = jnp.maximum(srcs, 0)
         (r_hit, r_pos, r_flag, s_hit, s_pos, s_info, s_flag) = \
@@ -133,7 +134,8 @@ class LocalBackend:
         rows = jnp.stack([r_pos, s_pos, bits], axis=-1)      # (NS, 3)
         rows = jnp.where(s_ok[:, None], rows, U32(0))
         full = jnp.zeros((N, 3), U32).at[
-            jnp.where(s_ok, srcs, N)].set(rows, mode="drop")
+            jnp.where(s_ok, srcs, N)].set(rows, mode="drop",
+                                          unique_indices=True)
         fr_pos = full[:, 0].reshape(shp)
         fs_pos = full[:, 1].reshape(shp)
         fb = full[:, 2].reshape(shp)

@@ -353,7 +353,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         amb_overflow = jnp.sum(am_mask) - jnp.sum(am_keep)
         am_srcidx = jnp.arange(B * K * 2, dtype=I32)
         na_src = jnp.full(NA, -1, I32).at[
-            jnp.where(am_keep, am_tgt, NA)].set(am_srcidx, mode="drop")
+            jnp.where(am_keep, am_tgt, NA)].set(am_srcidx, mode="drop",
+                                 unique_indices=True)
         na_ok = na_src >= 0
         na_s = jnp.maximum(na_src, 0)
         na_b = na_s // (K * 2)
@@ -373,7 +374,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # per-(B,K) exact event counts
         am_cnt = jnp.zeros((B, K, 2), I32).at[
             na_b, na_k, jnp.where(na_isref, 0, 1)].add(
-                jnp.where(na_ok, na_count, 0), mode="drop")
+                jnp.where(na_ok, na_count, 0), mode="drop",
+                unique_indices=True)
         exr_n = r_un_v.astype(I32) + am_cnt[..., 0]
         exs_n = s_un_v.astype(I32) + am_cnt[..., 1]
 
@@ -386,7 +388,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         src = jnp.arange(B * K, dtype=I32)
         item_src = jnp.full(NI, -1, I32)
         item_src = item_src.at[jnp.where(keep, tgt, NI)].set(
-            src, mode="drop")
+            src, mode="drop", unique_indices=True)
         it_ok = item_src >= 0
         it_b = jnp.where(it_ok, item_src // K, 0)
         it_k = jnp.where(it_ok, item_src % K, 0)
@@ -409,7 +411,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         ph_overflow = jnp.sum(ph_flat) - jnp.sum(ph_keep)
         ph_src = jnp.full(NH, -1, I32).at[
             jnp.where(ph_keep, ph_tgt, NH)].set(
-                jnp.arange(NI * P2, dtype=I32), mode="drop")
+                jnp.arange(NI * P2, dtype=I32), mode="drop",
+                unique_indices=True)
         h_ok = ph_src >= 0
         h_s = jnp.maximum(ph_src, 0)
         h_item = h_s // P2
@@ -453,7 +456,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
             jnp.where(h_ok, nb_cnt, 0), mode="drop")
         nb_n_flat = jnp.zeros(B * K, I32).at[
             jnp.where(it_ok, item_src, B * K)].set(
-                nb_n_item, mode="drop")
+                nb_n_item, mode="drop", unique_indices=True)
         nb_n = nb_n_flat.reshape(B, K)
         groups = jnp.stack([exr_n, exs_n, nb_n], axis=-1).reshape(B, 3 * K)
         goff = jnp.cumsum(groups, axis=-1) - groups
@@ -488,20 +491,21 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         no_mod = jnp.full((B, K), _NO_MOD)
         g_exr = goff[:, 0::3]                                  # (B, K)
         g_exs = goff[:, 1::3]
-        e_r = jnp.where(r_un_v & (g_exr < E), g_exr, E)
-        e_s = jnp.where(s_un_v & (g_exs < E), g_exs, E)
+        e_r = jnp.where(r_un_v & (g_exr < E), g_exr, E + 1)
+        e_s = jnp.where(s_un_v & (g_exs < E), g_exs, E + 1)
         e_rs = jnp.concatenate([e_r, e_s], axis=1)             # (B, 2K)
         w_rs = jnp.concatenate(
             [words_for(r_pos, kslot_arr, hi, lo, no_mod, False, r_un_v),
              words_for(s_pos, kslot_arr, hi, lo, no_mod, False, s_un_v)],
             axis=1)
-        packed = packed.at[rows_b2, e_rs].set(w_rs, mode="drop")
+        packed = packed.at[rows_b2, e_rs].set(w_rs, mode="drop",
+                                              unique_indices=True)
 
         # exact ambiguous: compacted (NA, 10) aux events
         na_g = goff[na_b, 3 * na_k + jnp.where(na_isref, 0, 1)]  # (NA,)
         na_rank = jnp.cumsum(na_colv, axis=-1) - 1
         e_a = na_g[:, None] + na_rank
-        e_a = jnp.where(na_colv & (e_a < E), e_a, E)
+        e_a = jnp.where(na_colv & (e_a < E), e_a, E + 1)
         packed = packed.at[na_b[:, None], e_a].set(
             words_for(na_aux,
                       jnp.broadcast_to(na_k[:, None], na_aux.shape),
@@ -509,7 +513,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                       jnp.broadcast_to(jnp.int32(_NO_MOD),
                                        na_aux.shape),
                       False, na_colv),
-            mode="drop")
+            mode="drop", unique_indices=True)
 
         # neighbor events: (NH, 10); order within an item = (probe, col);
         # within-item base = global exclusive cumsum minus the item's start
@@ -519,14 +523,14 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         nb_g = goff[h_b, 3 * h_k + 2]
         col_rank = jnp.cumsum(nb_valid, axis=-1) - 1
         e_nb = (nb_g + within)[:, None] + col_rank
-        e_nb = jnp.where(nb_valid & (e_nb < E), e_nb, E)
+        e_nb = jnp.where(nb_valid & (e_nb < E), e_nb, E + 1)
         packed = packed.at[h_b[:, None], e_nb].set(
             words_for(nb_kpos,
                       jnp.broadcast_to(h_k[:, None], nb_kpos.shape),
                       h_nbhi[:, None], h_nblo[:, None],
                       jnp.broadcast_to(h_diff[:, None], nb_kpos.shape),
                       True, nb_valid),
-            mode="drop")
+            mode="drop", unique_indices=True)
 
         pk = packed[:, :E]
         buf = dict(
@@ -664,7 +668,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         agree_ovf = jnp.sum(agree) - jnp.sum(keep)
         src_idx = jnp.full(FA, -1, I32).at[
             jnp.where(keep, ftgt, FA)].set(
-                jnp.arange(B * E, dtype=I32), mode="drop")
+                jnp.arange(B * E, dtype=I32), mode="drop",
+                unique_indices=True)
         f_ok = src_idx >= 0
         s = jnp.maximum(src_idx, 0)
 
@@ -713,7 +718,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         site_ovf = jnp.sum(fh) - jnp.sum(gk)
         gs = jnp.full(FG, -1, I32).at[
             jnp.where(gk, gt, FG)].set(
-                jnp.arange(FA * 32, dtype=I32), mode="drop")
+                jnp.arange(FA * 32, dtype=I32), mode="drop",
+                unique_indices=True)
         g_ok = gs >= 0
         g = jnp.maximum(gs, 0)
         g_src = jnp.where(g_ok, src.reshape(-1)[g], 0)

@@ -455,16 +455,6 @@ class ShardedDictGenoRunner:
         cfg = config
         axis = self.axis
 
-        def backend_factory(arg_t):
-            return RoutedBackend(arg_t, axis, D, cfg.replicate_stride_bug,
-                                 cfg.block_size_threshold,
-                                 scan_slots=scan_slots,
-                                 route_factor=route_factor)
-
-        proc = make_batch_processor(arg_host, cfg,
-                                    backend_factory=backend_factory)
-        raw = proc.raw
-
         # per-shard views: strip the leading device axis of shard fields
         def local_view(arg_l):
             dx = arg_l.dix
@@ -484,8 +474,26 @@ class ShardedDictGenoRunner:
         n = base.site_pos.shape[0]
         self.n_sites = n
 
-        @jax.jit
-        def sharded_step(arg_t, codes, n_kmers, qual, rc_d, ac_d):
+        def make_step(rf: float, ss: int):
+            """Build the jitted mesh step for a (route_factor, scan_slots)
+            point; consume_fastq escalates these on overflow and re-runs
+            the batch, so every capacity stays exact like GenoRunner's."""
+
+            def backend_factory(arg_t):
+                return RoutedBackend(arg_t, axis, D,
+                                     cfg.replicate_stride_bug,
+                                     cfg.block_size_threshold,
+                                     scan_slots=ss, route_factor=rf)
+
+            proc = make_batch_processor(arg_host, cfg,
+                                        backend_factory=backend_factory)
+            raw = proc.raw
+            return _make_sharded_step(raw)
+
+        def _make_sharded_step(raw):
+            return jax.jit(lambda *a: sharded_step(raw, *a))
+
+        def sharded_step(raw, arg_t, codes, n_kmers, qual, rc_d, ac_d):
             def local(arg_l, codes_l, nk_l, q_l, rc_l, ac_l):
                 rc, ac, stats = raw(local_view(arg_l), codes_l, nk_l, q_l,
                                     rc_l[0], ac_l[0])
@@ -524,7 +532,11 @@ class ShardedDictGenoRunner:
                 check_vma=False,
             )(arg_t, codes, n_kmers, qual, rc_d, ac_d)
 
-        self._step = sharded_step
+        self._steps: dict = {}
+        self._make_step = make_step
+        self._rf = route_factor
+        self._ss = scan_slots
+        self._step = self._get_step()
         self.ref_cnt_d = jax.device_put(jnp.zeros((D, n + 1), jnp.int32),
                                         dsh)
         self.alt_cnt_d = jax.device_put(jnp.zeros((D, n + 1), jnp.int32),
@@ -532,6 +544,12 @@ class ShardedDictGenoRunner:
         self._data_sh = dsh
         self.stats_totals: dict = {}
         self.n_reads = 0
+
+    def _get_step(self):
+        key = (self._rf, self._ss)
+        if key not in self._steps:
+            self._steps[key] = self._make_step(*key)
+        return self._steps[key]
 
     def global_batch(self) -> int:
         return self.D * self.config.batch_reads
@@ -548,14 +566,46 @@ class ShardedDictGenoRunner:
             codes = jax.device_put(batch.codes, self._data_sh)
             nk = jax.device_put(batch.n_kmers, self._data_sh)
             qual = jax.device_put(batch.qual, self._data_sh)
-            self.ref_cnt_d, self.alt_cnt_d, stats = self._step(
-                self.arg, codes, nk, qual, self.ref_cnt_d, self.alt_cnt_d)
+            # per-batch redo on capacity overflow: the step does NOT
+            # donate the accumulators, so the pre-batch counts stay live
+            # and an escalated re-run replaces the truncated attempt
+            # exactly (the reference has no such caps, so any overflow
+            # means potential divergence)
+            for _ in range(1 + cfg.auto_retry_max):
+                rc_d, ac_d, stats = self._step(
+                    self.arg, codes, nk, qual, self.ref_cnt_d,
+                    self.alt_cnt_d)
+                tripped = {k for k, v in stats.items()
+                           if "overflow" in k and int(v)}
+                if not tripped:
+                    break
+                esc = False
+                if "route_overflow" in tripped and self._rf < 2 * self.D:
+                    self._rf = min(self._rf * 2, 2.0 * self.D)
+                    esc = True
+                if ({"fwd_snp_scan_overflow", "rev_snp_scan_overflow"}
+                        & tripped) and \
+                        self._ss < cfg.block_size_threshold:
+                    self._ss = min(self._ss * 2,
+                                   cfg.block_size_threshold)
+                    esc = True
+                if not esc:
+                    break  # unhandled overflow class: keep + warn below
+                self._step = self._get_step()
+            self.ref_cnt_d, self.alt_cnt_d = rc_d, ac_d
             self.n_reads += batch.n_valid
             for k, v in stats.items():
                 self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
             nb += 1
             if limit_batches and nb >= limit_batches:
                 break
+        leftover = {k: v for k, v in self.stats_totals.items()
+                    if "overflow" in k and v}
+        if leftover:
+            import warnings
+
+            warnings.warn("sharded-dict capacity overflows (results may "
+                          f"diverge from reference): {leftover}")
 
     def counts(self):
         rc = jnp.sum(self.ref_cnt_d, axis=0)

@@ -160,3 +160,35 @@ def test_derived_table_cache_roundtrip(mini_index, tmp_path):
         (b.both_ht_nb, b.both_ht_chain, b.ref_win_rows)
     store.save_dir(prefix, mini_index)           # rebuild wipes the cache
     assert not os.path.isdir(prefix + ".vgt/derived")
+
+
+def test_prefetch_shutdown_and_propagation():
+    """prefetch() must not leak worker threads when the consumer stops
+    early, must deliver all items on full consumption, and must
+    repropagate producer exceptions (vargeno_tpu/io/fastq.py)."""
+    import threading
+    import time
+
+    from vargeno_tpu.io.fastq import prefetch
+
+    before = set(threading.enumerate())
+    g = prefetch(iter(range(1000)), depth=2)
+    assert next(g) == 0
+    g.close()                      # abandoned mid-stream
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if set(threading.enumerate()) <= before:
+            break
+        time.sleep(0.02)
+    assert set(threading.enumerate()) <= before, "worker thread leaked"
+
+    assert list(prefetch(iter(range(7)), depth=3)) == list(range(7))
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="boom"):
+        list(prefetch(bad(), depth=1))

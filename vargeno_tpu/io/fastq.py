@@ -75,27 +75,51 @@ def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
 def prefetch(it, depth: int = 2):
     """Run an iterator on a background thread with a bounded queue, so
     batch parsing/encoding overlaps device compute instead of serializing
-    into the dispatch loop. Exceptions propagate to the consumer."""
+    into the dispatch loop. Exceptions propagate to the consumer.
+
+    Closing the consumer generator early (or abandoning it) signals the
+    worker to stop, so no thread is left blocked on a full queue at
+    interpreter shutdown."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as e:  # noqa: BLE001 - repropagated below
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a worker waiting on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)

@@ -31,7 +31,8 @@ def main():
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
     index = store.load(os.path.join(CACHE, "bench"))
     cfg = GenoConfig(batch_reads=B, max_read_len=128, max_kmers_per_read=4,
-                     pallas_vote=True)
+                     pallas_vote=True,
+                     events_per_read=int(os.environ.get("VGT_EPR", 16)))
     dix = build_device_index(index)
     proc = make_batch_processor(dix, cfg)
     b = next(iter_read_batches(os.path.join(CACHE, "reads.fq"), B, 128, 4))

@@ -95,12 +95,12 @@ def measure_reference(fa, vcf, fq) -> float:
 
 
 def _timed_pass(runner, fq):
-    import jax
-
     t0 = time.time()
     n0 = runner.n_reads
     runner.consume_fastq(fq)
-    jax.block_until_ready(runner.ref_cnt)
+    # value fetch, not block_until_ready: the tunneled dispatch path's
+    # block_until_ready can return before execution completes
+    np.asarray(runner.ref_cnt)[:1]
     return (runner.n_reads - n0) / (time.time() - t0)
 
 
@@ -182,6 +182,58 @@ def pick_runner(index, fq):
     return runner
 
 
+def _gather_rates():
+    """Measured random-gather lane rates for the gather-bound roofline
+    (tools/bench_gather.py, cached per device in the dataset cache)."""
+    import jax
+
+    path = os.path.join(CACHE, "gather_rates.json")
+    kind = jax.devices()[0].device_kind
+    if os.path.exists(path):
+        try:
+            d = json.load(open(path))
+            if d.get("device") == kind:
+                return d
+        except Exception:  # noqa: BLE001
+            pass
+    if os.environ.get("VGT_BENCH_GATHER", "1") == "0":
+        return None
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools", "bench_gather.py")],
+            capture_output=True, text=True, timeout=600, check=True)
+        d = json.loads(r.stdout.strip().splitlines()[-1])
+        json.dump(d, open(path, "w"))
+        return d
+    except Exception as e:  # noqa: BLE001
+        print(f"# gather microbench unavailable: {e!r}", file=sys.stderr)
+        return None
+
+
+def _roofline_report(runner, rate):
+    import jax
+
+    from vargeno_tpu.utils import roofline
+
+    cfg = runner.config
+    st = runner.stats_totals
+    lanes = max(runner.n_reads * cfg.max_kmers_per_read, 1)
+    lowq_frac = min(st.get("lowq_n", 0) / lanes, 1.0)
+    rates = _gather_rates()
+    glps = None
+    if rates:
+        # the workload's gather mix is ~60% word-sized, ~40% row-sized by
+        # lane count; use the word rate (the lower of the two) as the bound
+        glps = rates.get("word_gather_1048576") or rates.get(
+            "word_gather_2097152")
+    return roofline.roofline(cfg, runner.dix,
+                             jax.devices()[0].device_kind,
+                             cfg.batch_reads, rate,
+                             lowq_frac=lowq_frac,
+                             gather_lanes_per_sec=glps)
+
+
 def main():
     fa, vcf, fq = build_dataset()
     ref_rate = measure_reference(fa, vcf, fq)
@@ -196,12 +248,7 @@ def main():
     # single long pass is a lottery; the median pass is the steady state
     rates = []
     for _ in range(PASSES):
-        t0 = time.time()
-        n0 = runner.n_reads
-        runner.consume_fastq(fq)
-        jax.block_until_ready(runner.ref_cnt)
-        dt = time.time() - t0
-        rates.append((runner.n_reads - n0) / dt)
+        rates.append(_timed_pass(runner, fq))
     rate = sorted(rates)[len(rates) // 2]
     ovf = {k: v for k, v in runner.stats_totals.items()
            if "overflow" in k and v}
@@ -209,12 +256,28 @@ def main():
         print(f"# WARNING overflows: {ovf}", file=sys.stderr)
 
     vs = rate / ref_rate if ref_rate == ref_rate else None
-    print(json.dumps({
+    line = {
         "metric": "geno_throughput",
         "value": round(rate, 1),
         "unit": "reads/sec/chip",
         "vs_baseline": round(vs, 3) if vs is not None else None,
-    }))
+    }
+    try:
+        rep = _roofline_report(runner, rate)
+        print(f"# roofline: {json.dumps(rep)}", file=sys.stderr)
+        line["bw_roofline_frac"] = rep["bw_roofline_frac"]
+        if "gather_roofline_frac" in rep:
+            line["gather_roofline_frac"] = rep["gather_roofline_frac"]
+    except Exception as e:  # noqa: BLE001 - roofline is reporting only
+        print(f"# roofline unavailable: {e!r}", file=sys.stderr)
+    # record the calibration winner so perf regressions are separable from
+    # dispatch-link noise (VERDICT r1 item 10)
+    try:
+        cal = json.load(open(os.path.join(CACHE, "calib.json")))
+        print(f"# calibration: {json.dumps(cal)}", file=sys.stderr)
+    except Exception:  # noqa: BLE001
+        pass
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

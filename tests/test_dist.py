@@ -30,7 +30,7 @@ def test_sharded_geno_matches_single_device(mini_index, tmp_path):
     single = GenoRunner(mini_index, single_cfg, queued_orientation=False)
     single.consume_fastq(os.path.join(FIX, "reads.fq"), limit_batches=4)
 
-    ref_d, alt_d = sharded._merge(sharded.ref_cnt_d, sharded.alt_cnt_d)
+    ref_d, alt_d = sharded.merge_counts()
     n = sharded.n_sites
     np.testing.assert_array_equal(np.asarray(ref_d)[:n],
                                   np.asarray(single.ref_cnt)[:n])

@@ -30,6 +30,9 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vgt_trace"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
     index = store.load(os.path.join(CACHE, "bench"))
+    # VGT_EPR defaults to 16 (the bench config), NOT the GenoConfig default
+    # of 96 -- traces are meant to profile the same step the bench measures;
+    # set VGT_EPR=96 to trace the engine-default capacity instead
     cfg = GenoConfig(batch_reads=B, max_read_len=128, max_kmers_per_read=4,
                      pallas_vote=True,
                      events_per_read=int(os.environ.get("VGT_EPR", 16)))

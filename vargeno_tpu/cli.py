@@ -18,7 +18,10 @@ import sys
 
 def _add_engine_flags(p):
     p.add_argument("--batch-reads", type=int, default=4096)
-    p.add_argument("--max-read-len", type=int, default=128)
+    p.add_argument("--max-read-len", type=int, default=None,
+                   help="padded read length (default: auto-sized from a "
+                        "FASTQ peek, 128..992, so long-read inputs are "
+                        "never silently truncated)")
     p.add_argument("--no-stride-bug", action="store_true",
                    help="disable replication of the reference's small-block "
                         "scan pointer bug (qv.cc:359) - 'intended' behavior")
@@ -43,14 +46,21 @@ def _add_engine_flags(p):
                         "kmer words")
 
 
-def _config(args):
+def _config(args, fastqs=()):
     from .config import GenoConfig
 
     kw = {}
     if hasattr(args, "batch_reads"):
-        K = max(1, args.max_read_len // 32)
+        L = args.max_read_len
+        if L is None:
+            L = 128
+            if fastqs:   # auto-size so long reads are never truncated
+                from .io.fastq import autosize_read_len
+
+                L = max(autosize_read_len(fq) for fq in fastqs)
+        K = max(1, L // 32)
         kw = dict(batch_reads=args.batch_reads,
-                  max_read_len=args.max_read_len,
+                  max_read_len=L,
                   max_kmers_per_read=K,
                   replicate_stride_bug=not args.no_stride_bug)
         for f in ("events_per_read", "candidates_per_read",
@@ -100,7 +110,11 @@ def main(argv=None):
     p.add_argument("out_pattern", help="per-sample output, e.g. out_{sample}.vcf")
     p.add_argument("samples", nargs="+",
                    help="name=reads.fq pairs")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="stream each sample data-parallel over N devices")
     _add_engine_flags(p)
+
+    sub.add_parser("help", help="show this help (reference: qv.cc:1853)")
 
     p = sub.add_parser("vcfd", help="build dictionaries only (legacy vcfd)")
     p.add_argument("ref_fasta")
@@ -161,6 +175,11 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
 
+    if args.cmd == "help":
+        # reference: `vargeno help` prints usage (src/qv.cc:1853-1873)
+        ap.print_help()
+        return 0
+
     if args.cmd == "index":
         from .index.build import build_index
 
@@ -169,29 +188,26 @@ def main(argv=None):
         return 0
 
     if args.cmd == "geno":
-        cfg = _config(args)
+        cfg = _config(args, fastqs=(args.reads_fq,))
         if args.pallas_vote:
             import dataclasses as _dc
 
             cfg = _dc.replace(cfg, pallas_vote=True)
-        if args.mesh:
-            from .dist.sharding import ShardedGenoRunner, make_mesh
-            from .dist.sharded_dict import ShardedDictGenoRunner
-            from .index import store
-
-            index = store.load(args.prefix)
-            mesh = make_mesh(args.mesh)
-            cls = (ShardedDictGenoRunner if args.sharded_dict
-                   else ShardedGenoRunner)
-            runner = cls(index, mesh, cfg)
-            runner.consume_fastq(args.reads_fq)
-            runner.write_vcf(args.snp_vcf, args.out_vcf)
-            return 0
-        from .engine.geno import GenoRunner
         from .index import store
 
         index = store.load(args.prefix)
-        runner = GenoRunner(index, cfg, metrics_path=args.metrics)
+        if args.mesh:
+            from .dist.sharded_dict import ShardedDictGenoRunner
+            from .dist.sharding import ShardedGenoRunner, make_mesh
+
+            mesh = make_mesh(args.mesh)
+            cls = (ShardedDictGenoRunner if args.sharded_dict
+                   else ShardedGenoRunner)
+            runner = cls(index, mesh, cfg, metrics_path=args.metrics)
+        else:
+            from .engine.geno import GenoRunner
+
+            runner = GenoRunner(index, cfg, metrics_path=args.metrics)
         runner.consume_fastq(args.reads_fq,
                              checkpoint_path=args.checkpoint)
         if args.metrics:
@@ -205,7 +221,14 @@ def main(argv=None):
 
         pairs = [s.split("=", 1) for s in args.samples]
         index = store.load(args.prefix)
-        runner = CohortRunner(index, [n for n, _ in pairs], _config(args))
+        mesh = None
+        if args.mesh:
+            from .dist.sharding import make_mesh
+
+            mesh = make_mesh(args.mesh)
+        runner = CohortRunner(index, [n for n, _ in pairs],
+                              _config(args, fastqs=[f for _, f in pairs]),
+                              mesh=mesh)
         for name, fq in pairs:
             runner.consume_sample(name, fq)
         runner.write_vcfs(args.snp_vcf, args.out_pattern)

@@ -78,6 +78,12 @@ class GenoConfig:
                                    # full-key prefilter in sparse lookups
                                    # (observed pass rate ~3%; overflow is
                                    # counted and auto-retry doubles it)
+    probe_active_frac: float = 0.25  # active-lane fraction kept by the
+                                   # neighbor-probe pre-compaction (BF
+                                   # bounds + base masks kill most lanes;
+                                   # gathers are lane-rate-bound, so the
+                                   # prefilter runs on compacted lanes);
+                                   # overflow counted + auto-escalated
     auto_retry_max: int = 3        # overflow escalation rounds per batch:
                                    # a batch that trips any capacity counter
                                    # is re-run with the tripped caps doubled
@@ -107,6 +113,12 @@ class GenoConfig:
 
     # --- distribution ---
     data_axis: str = "data"
+    route_factor: float = 2.2     # sharded-dict mode: per-(src,dst) lane
+                                  # capacity as a multiple of the uniform
+                                  # share (genomic hi bits are near-uniform;
+                                  # overflow is counted and auto-escalated)
+    route_scan_slots: int = 16    # sharded-dict mode: compacted block-scan
+                                  # hits returned per routed query
 
     @property
     def ref_bf_bits(self) -> int:

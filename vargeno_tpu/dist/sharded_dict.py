@@ -33,9 +33,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import GenoConfig
 from ..engine import search
 from ..engine.backend import LocalBackend, ScanResult
-from ..engine.batch import make_batch_processor
 from ..engine.device_index import DeviceIndex, build_device_index
 from ..index.store import VarGenoIndex
+from .sharding import ShardedGenoRunner
 
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -230,7 +230,12 @@ class RoutedBackend:
         """Route (N,)-shaped queries to owners; lanes with valid=False are
         sent nowhere (answers are zeros). Answers have R values per query
         laid out query-major. Returns tuple of (N, R) or (N,) arrays
-        (squeezed when R==1) plus the count of DROPPED VALID queries."""
+        (squeezed when R==1) plus the count of DROPPED VALID queries.
+
+        All send fields ride ONE packed (D, Q, F) all_to_all, and all
+        answers ride ONE packed (D, Q*R, Fa) all_to_all back -- one
+        collective per direction per stage instead of one per field (the
+        narrow per-field u32 buffers wasted ICI latency, not bandwidth)."""
         N = owner.shape[0]
         D = self.D
         Q = max(16, -(-int(self.route_factor * N) // D))
@@ -241,29 +246,46 @@ class RoutedBackend:
         posg = jnp.arange(N, dtype=I32) - start[jnp.clip(so, 0, D)]
         ok = posg < Q
         slot_sorted = jnp.where(ok, posg, Q)
-        send = []
-        for fld in send_fields:
-            if fld.dtype == jnp.bool_:
-                fld = fld.astype(I32)
-            buf = jnp.zeros((D, Q + 1), fld.dtype)
-            buf = buf.at[so, slot_sorted].set(fld[order], mode="drop")
-            send.append(buf[:, :Q])
-        recv = [jax.lax.all_to_all(b, self.axis, 0, 0) for b in send]
-        answers = answer_fn(*[r.reshape(-1) for r in recv])
-        back = []
-        for a in answers:
-            if a.dtype == jnp.bool_:
-                a = a.astype(I32)
-            b = jax.lax.all_to_all(a.reshape(D, Q * R), self.axis, 0, 0)
-            back.append(b.reshape(D, Q, R))
+
+        def as_u32(f):
+            if f.dtype == jnp.bool_:
+                return f.astype(U32)
+            if f.dtype == U32:
+                return f
+            return jax.lax.bitcast_convert_type(f.astype(I32), U32)
+
+        def from_u32(v, dt):
+            if dt == jnp.bool_:
+                return v != 0
+            if dt == U32:
+                return v
+            return jax.lax.bitcast_convert_type(v, I32).astype(dt)
+
+        send_f = list(send_fields)
+        sdts = [f.dtype for f in send_f]
+        stacked = jnp.stack([as_u32(f) for f in send_f], axis=-1)  # (N, F)
+        buf = jnp.zeros((D, Q + 1, len(send_f)), U32)
+        buf = buf.at[so, slot_sorted].set(stacked[order], mode="drop")
+        recv = jax.lax.all_to_all(buf[:, :Q], self.axis, 0, 0)  # (D, Q, F)
+        rflat = recv.reshape(D * Q, len(send_f))
+
+        answers = answer_fn(*[from_u32(rflat[:, i], dt)
+                              for i, dt in enumerate(sdts)])
+        adts = [a.dtype for a in answers]
+        ans_rows = jnp.stack([as_u32(a) for a in answers], axis=-1)
+        back = jax.lax.all_to_all(
+            ans_rows.reshape(D, Q * R, len(answers)), self.axis, 0, 0)
+        back = back.reshape(D, Q, R, len(answers))
+
         inv_slot = jnp.zeros(N, I32).at[order].set(slot_sorted)
         safe = jnp.minimum(inv_slot, Q - 1)
         got = valid & (inv_slot < Q)
         safe_owner = jnp.clip(owner, 0, D - 1)
+        rows = back[safe_owner, safe]                    # (N, R, Fa)
         outs = []
-        for a in back:
-            v = a[safe_owner, safe]                   # (N, R)
-            v = jnp.where(got[:, None], v, jnp.zeros((), a.dtype))
+        for i, dt in enumerate(adts):
+            v = jnp.where(got[:, None], rows[..., i], U32(0))
+            v = from_u32(v, dt)
             outs.append(v[:, 0] if R == 1 else v)
         route_ovf = jnp.sum(~ok & (so <= D - 1))
         self.route_overflow = self.route_overflow + route_ovf
@@ -374,7 +396,9 @@ class RoutedBackend:
         outs, route_ovf = self._route(owner, active,
                                       (q_hi, q_lo, active), ans, 7, R=R)
         hit, pos, flag, info, nbhi, nblo, diff = outs
-        scan_ovf = jax.lax.psum(ovf_box[0], self.axis)
+        # per-device overflow count (this device answered other shards'
+        # queries): stats are host-aggregated across devices, no psum here
+        scan_ovf = ovf_box[0]
         return ScanResult(
             hit=hit != 0, pos=pos, flag=flag.astype(jnp.uint8),
             info=info.astype(jnp.uint8), nb_hi=nbhi, nb_lo=nblo,
@@ -387,34 +411,54 @@ class RoutedBackend:
         return self._scan(False, q_hi, q_lo, active)
 
 
-class ShardedDictGenoRunner:
-    """Data-parallel reads + range-partitioned dictionaries on one mesh."""
+class ShardedDictGenoRunner(ShardedGenoRunner):
+    """Data-parallel reads + range-partitioned dictionaries on one mesh.
+
+    Subclasses the data-parallel mesh runner, so it inherits the full host
+    loop: prefetch + native pre-encode, depth-N pipelined dispatch, queued
+    reverse-orientation retries, per-batch overflow escalation-and-rerun
+    (including route_factor / route_scan_slots via GenoConfig), and
+    checkpoint/resume. Only the index layout (ShardedIndexArg), its
+    shard_map specs/local view, and the backend (RoutedBackend) differ."""
 
     def __init__(self, index: VarGenoIndex, mesh: Mesh, config: GenoConfig,
-                 scan_slots: int = 16, route_factor: float = 3.0):
-        self.config = config
-        self.mesh = mesh
-        self.axis = mesh.axis_names[0]
-        self.index = index
-        D = mesh.devices.size
-        self.D = D
+                 scan_slots: Optional[int] = None,
+                 route_factor: Optional[float] = None, **kw):
+        # legacy ctor knobs fold into the config (the escalation path
+        # doubles these fields on overflow and re-runs the batch)
+        upd = {}
+        if scan_slots is not None:
+            upd["route_scan_slots"] = scan_slots
+        if route_factor is not None:
+            upd["route_factor"] = route_factor
+        if upd:
+            config = dataclasses.replace(config, **upd)
+        super().__init__(index, mesh, config, **kw)
+        self.arg = self.dix   # back-compat alias
 
+    # --- mesh plumbing overrides ---
+
+    def _prepare_dix(self, index: VarGenoIndex):
+        D = self.D
         base, stacked, plan, owned, totals = partition_index(index, D)
-
-        data = P(self.axis)
-        none = P()
-        dsh = NamedSharding(mesh, data)
-        rsh = NamedSharding(mesh, none)
+        self._base_static = dict(
+            n_ref_aux=base.n_ref_aux,
+            snp_bf_bits=base.snp_bf_bits, ref_bf_bits=base.ref_bf_bits,
+            ref_scan_max=base.ref_scan_max, snp_scan_max=base.snp_scan_max,
+            n_ref_rows=stacked["ref_hi"].shape[1],
+            n_snp_rows=stacked["snp_hi"].shape[1])
+        dsh, rsh = self._data_sh, self._repl_sh
 
         # local DeviceIndex template: dict arrays = shard (leading D axis),
         # replicated fields shared, hash tables dummied out (unused).
         dummy_ht = np.zeros((1, 32), np.uint32)
+        st = self._base_static
         shard_dix = DeviceIndex(
             ref_hi=jax.device_put(stacked["ref_hi"], dsh),
             ref_lo=jax.device_put(stacked["ref_lo"], dsh),
             ref_meta=jax.device_put(stacked["ref_meta"], dsh),
             aux_all=jax.device_put(base.aux_all, rsh),
-            n_ref_aux=base.n_ref_aux,
+            n_ref_aux=st["n_ref_aux"],
             snp_hi=jax.device_put(stacked["snp_hi"], dsh),
             snp_lo=jax.device_put(stacked["snp_lo"], dsh),
             snp_meta=jax.device_put(stacked["snp_meta"], dsh),
@@ -432,17 +476,18 @@ class ShardedDictGenoRunner:
             ref_jg=jax.device_put(dummy_ht.reshape(-1)[:2], rsh),
             snp_jg=jax.device_put(dummy_ht.reshape(-1)[:2], rsh),
             both_pf=jax.device_put(dummy_ht.reshape(-1), rsh),
-            snp_bf_bits=base.snp_bf_bits, ref_bf_bits=base.ref_bf_bits,
+            snp_bf_bits=st["snp_bf_bits"], ref_bf_bits=st["ref_bf_bits"],
             both_ht_nb=1, both_ht_chain=1,
             ref_win_rows=1,
             # shard blocks are whole global blocks (boundaries snap to
             # key changes), so the global maxima bound per-shard scans
-            ref_scan_max=base.ref_scan_max, snp_scan_max=base.snp_scan_max,
-            n_ref_rows=stacked["ref_hi"].shape[1],
-            n_snp_rows=stacked["snp_hi"].shape[1],
+            ref_scan_max=st["ref_scan_max"],
+            snp_scan_max=st["snp_scan_max"],
+            n_ref_rows=st["n_ref_rows"],
+            n_snp_rows=st["n_snp_rows"],
             both_pf_bits=1024,
         )
-        arg_host = ShardedIndexArg(
+        return ShardedIndexArg(
             dix=shard_dix,
             plan=jax.tree.map(lambda a: jax.device_put(a, rsh), plan),
             my_ref_owned=jax.device_put(owned["ref"][:, None], dsh),
@@ -450,180 +495,62 @@ class ShardedDictGenoRunner:
             my_ref_total=jax.device_put(totals["ref"][:, None], dsh),
             my_snp_total=jax.device_put(totals["snp"][:, None], dsh),
         )
-        self.arg = arg_host
 
-        cfg = config
+    def _dix_specs(self):
         axis = self.axis
+        none = P()
+        st = self._base_static
+        return ShardedIndexArg(
+            dix=DeviceIndex(
+                ref_hi=P(axis), ref_lo=P(axis), ref_meta=P(axis),
+                aux_all=none, n_ref_aux=st["n_ref_aux"],
+                snp_hi=P(axis), snp_lo=P(axis), snp_meta=P(axis),
+                snp_test=P(axis),
+                ref_bf=none, snp_bf=none,
+                site_pos=none, site_ref=none, site_alt=none,
+                site_bitmap=none, site_rank=none, site_dir=none,
+                site_ra=none, both_ht=none,
+                ref_jg=none, snp_jg=none, both_pf=none,
+                snp_bf_bits=st["snp_bf_bits"],
+                ref_bf_bits=st["ref_bf_bits"],
+                both_ht_nb=1, both_ht_chain=1,
+                ref_win_rows=1,
+                ref_scan_max=st["ref_scan_max"],
+                snp_scan_max=st["snp_scan_max"],
+                n_ref_rows=st["n_ref_rows"],
+                n_snp_rows=st["n_snp_rows"],
+                both_pf_bits=1024),
+            plan=ShardPlan(ref_bounds_hi=none, snp_bounds_hi24=none),
+            my_ref_owned=P(axis), my_snp_owned=P(axis),
+            my_ref_total=P(axis), my_snp_total=P(axis))
 
-        # per-shard views: strip the leading device axis of shard fields
-        def local_view(arg_l):
-            dx = arg_l.dix
-            strip = dict(
-                ref_hi=dx.ref_hi[0], ref_lo=dx.ref_lo[0],
-                ref_meta=dx.ref_meta[0],
-                snp_hi=dx.snp_hi[0], snp_lo=dx.snp_lo[0],
-                snp_meta=dx.snp_meta[0], snp_test=dx.snp_test[0])
-            dx2 = dataclasses.replace(dx, **strip)
-            return dataclasses.replace(
-                arg_l, dix=dx2,
-                my_ref_owned=arg_l.my_ref_owned[0],
-                my_snp_owned=arg_l.my_snp_owned[0],
-                my_ref_total=arg_l.my_ref_total[0],
-                my_snp_total=arg_l.my_snp_total[0])
+    def _local_view(self, arg_l):
+        # strip the leading device axis of shard fields
+        dx = arg_l.dix
+        strip = dict(
+            ref_hi=dx.ref_hi[0], ref_lo=dx.ref_lo[0],
+            ref_meta=dx.ref_meta[0],
+            snp_hi=dx.snp_hi[0], snp_lo=dx.snp_lo[0],
+            snp_meta=dx.snp_meta[0], snp_test=dx.snp_test[0])
+        dx2 = dataclasses.replace(dx, **strip)
+        return dataclasses.replace(
+            arg_l, dix=dx2,
+            my_ref_owned=arg_l.my_ref_owned[0],
+            my_snp_owned=arg_l.my_snp_owned[0],
+            my_ref_total=arg_l.my_ref_total[0],
+            my_snp_total=arg_l.my_snp_total[0])
 
-        n = base.site_pos.shape[0]
-        self.n_sites = n
+    def _backend_factory(self, cfg: GenoConfig):
+        axis, D = self.axis, self.D
 
-        def make_step(rf: float, ss: int):
-            """Build the jitted mesh step for a (route_factor, scan_slots)
-            point; consume_fastq escalates these on overflow and re-runs
-            the batch, so every capacity stays exact like GenoRunner's."""
+        def factory(arg_t):
+            return RoutedBackend(arg_t, axis, D,
+                                 cfg.replicate_stride_bug,
+                                 cfg.block_size_threshold,
+                                 scan_slots=cfg.route_scan_slots,
+                                 route_factor=cfg.route_factor)
 
-            def backend_factory(arg_t):
-                return RoutedBackend(arg_t, axis, D,
-                                     cfg.replicate_stride_bug,
-                                     cfg.block_size_threshold,
-                                     scan_slots=ss, route_factor=rf)
-
-            proc = make_batch_processor(arg_host, cfg,
-                                        backend_factory=backend_factory)
-            raw = proc.raw
-            return _make_sharded_step(raw)
-
-        def _make_sharded_step(raw):
-            return jax.jit(lambda *a: sharded_step(raw, *a))
-
-        def sharded_step(raw, arg_t, codes, n_kmers, qual, rc_d, ac_d):
-            def local(arg_l, codes_l, nk_l, q_l, rc_l, ac_l):
-                rc, ac, stats = raw(local_view(arg_l), codes_l, nk_l, q_l,
-                                    rc_l[0], ac_l[0])
-                stats = {k: jax.lax.psum(v, axis) for k, v in stats.items()}
-                return rc[None], ac[None], stats
-
-            shard_specs = ShardedIndexArg(
-                dix=DeviceIndex(
-                    ref_hi=P(axis), ref_lo=P(axis), ref_meta=P(axis),
-                    aux_all=none, n_ref_aux=base.n_ref_aux,
-                    snp_hi=P(axis), snp_lo=P(axis), snp_meta=P(axis),
-                    snp_test=P(axis),
-                    ref_bf=none, snp_bf=none,
-                    site_pos=none, site_ref=none, site_alt=none,
-                    site_bitmap=none, site_rank=none, site_dir=none,
-                    site_ra=none, both_ht=none,
-                    ref_jg=none, snp_jg=none, both_pf=none,
-                    snp_bf_bits=base.snp_bf_bits,
-                    ref_bf_bits=base.ref_bf_bits,
-                    both_ht_nb=1, both_ht_chain=1,
-                    ref_win_rows=1,
-                    ref_scan_max=self.arg.dix.ref_scan_max,
-                    snp_scan_max=self.arg.dix.snp_scan_max,
-                    n_ref_rows=self.arg.dix.n_ref_rows,
-                    n_snp_rows=self.arg.dix.n_snp_rows,
-                    both_pf_bits=1024),
-                plan=ShardPlan(ref_bounds_hi=none, snp_bounds_hi24=none),
-                my_ref_owned=P(axis), my_snp_owned=P(axis),
-                my_ref_total=P(axis), my_snp_total=P(axis))
-
-            return jax.shard_map(
-                local, mesh=self.mesh,
-                in_specs=(shard_specs, P(axis), P(axis), P(axis), P(axis),
-                          P(axis)),
-                out_specs=(P(axis), P(axis), none),
-                check_vma=False,
-            )(arg_t, codes, n_kmers, qual, rc_d, ac_d)
-
-        self._steps: dict = {}
-        self._make_step = make_step
-        self._rf = route_factor
-        self._ss = scan_slots
-        self._step = self._get_step()
-        self.ref_cnt_d = jax.device_put(jnp.zeros((D, n + 1), jnp.int32),
-                                        dsh)
-        self.alt_cnt_d = jax.device_put(jnp.zeros((D, n + 1), jnp.int32),
-                                        dsh)
-        self._data_sh = dsh
-        self.stats_totals: dict = {}
-        self.n_reads = 0
-
-    def _get_step(self):
-        key = (self._rf, self._ss)
-        if key not in self._steps:
-            self._steps[key] = self._make_step(*key)
-        return self._steps[key]
-
-    def global_batch(self) -> int:
-        return self.D * self.config.batch_reads
-
-    def consume_fastq(self, fastq_path: str,
-                      limit_batches: Optional[int] = None) -> None:
-        from ..io.fastq import iter_read_batches
-
-        cfg = self.config
-        nb = 0
-        for batch in iter_read_batches(fastq_path, self.global_batch(),
-                                       cfg.max_read_len,
-                                       cfg.max_kmers_per_read):
-            codes = jax.device_put(batch.codes, self._data_sh)
-            nk = jax.device_put(batch.n_kmers, self._data_sh)
-            qual = jax.device_put(batch.qual, self._data_sh)
-            # per-batch redo on capacity overflow: the step does NOT
-            # donate the accumulators, so the pre-batch counts stay live
-            # and an escalated re-run replaces the truncated attempt
-            # exactly (the reference has no such caps, so any overflow
-            # means potential divergence)
-            for _ in range(1 + cfg.auto_retry_max):
-                rc_d, ac_d, stats = self._step(
-                    self.arg, codes, nk, qual, self.ref_cnt_d,
-                    self.alt_cnt_d)
-                tripped = {k for k, v in stats.items()
-                           if "overflow" in k and int(v)}
-                if not tripped:
-                    break
-                esc = False
-                if "route_overflow" in tripped and self._rf < 2 * self.D:
-                    self._rf = min(self._rf * 2, 2.0 * self.D)
-                    esc = True
-                if ({"fwd_snp_scan_overflow", "rev_snp_scan_overflow"}
-                        & tripped) and \
-                        self._ss < cfg.block_size_threshold:
-                    self._ss = min(self._ss * 2,
-                                   cfg.block_size_threshold)
-                    esc = True
-                if not esc:
-                    break  # unhandled overflow class: keep + warn below
-                self._step = self._get_step()
-            self.ref_cnt_d, self.alt_cnt_d = rc_d, ac_d
-            self.n_reads += batch.n_valid
-            for k, v in stats.items():
-                self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
-            nb += 1
-            if limit_batches and nb >= limit_batches:
-                break
-        leftover = {k: v for k, v in self.stats_totals.items()
-                    if "overflow" in k and v}
-        if leftover:
-            import warnings
-
-            warnings.warn("sharded-dict capacity overflows (results may "
-                          f"diverge from reference): {leftover}")
+        return factory
 
     def counts(self):
-        rc = jnp.sum(self.ref_cnt_d, axis=0)
-        ac = jnp.sum(self.alt_cnt_d, axis=0)
-        return rc, ac
-
-    def calls(self):
-        from ..finalize import finalize_calls
-
-        rc, ac = self.counts()
-        s = self.index.sites
-        n = s.pos.shape[0]
-        ref = np.minimum(np.asarray(rc)[:n], self.config.max_cov)
-        alt = np.minimum(np.asarray(ac)[:n], self.config.max_cov)
-        return finalize_calls(self.index.chrlens, s.pos, s.ref, s.alt,
-                              s.rf, s.af, ref, alt, self.config)
-
-    def write_vcf(self, vcf_in: str, vcf_out: str) -> None:
-        from ..io.vcf_writer import write_calls_vcf
-
-        write_calls_vcf(vcf_in, vcf_out, self.calls())
+        return self.merge_counts()

@@ -9,16 +9,21 @@ here is new, TPU-native design:
   inner loop is collective-free; counts are merged with one ``psum``-style
   reduction at the END of the stream, not per batch -- per-SNP counts are
   order-independent saturating sums, so late merging is exact.
-- The merge + genotype-calling step runs jitted over the same mesh.
+
+``ShardedGenoRunner`` subclasses the single-device ``GenoRunner`` and reuses
+its ENTIRE host loop -- prefetch + native pre-encode, depth-N pipelined
+dispatch, queued reverse-orientation retries, per-batch overflow
+escalation-and-rerun, checkpoint/resume -- overriding only how a batch is
+dispatched (a shard_map'd step over the mesh into per-device accumulators).
 
 A second configuration (sharded-dictionary mode for indexes that exceed
 one chip's HBM: hi-bit dictionary partition + all_to_all k-mer routing) is
-in dist.sharded_dict.
+dist.sharded_dict.ShardedDictGenoRunner, a subclass of this runner.
 """
 
 from __future__ import annotations
 
-from functools import partial
+import dataclasses
 from typing import Optional
 
 import jax
@@ -28,7 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import GenoConfig
 from ..engine.batch import make_batch_processor
-from ..engine.device_index import DeviceIndex, build_device_index
+from ..engine.device_index import build_device_index
+from ..engine.geno import GenoRunner
 from ..index.store import VarGenoIndex
 
 
@@ -39,133 +45,256 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-class ShardedGenoRunner:
-    """Data-parallel geno over a mesh. Host feeds global batches of
-    D * batch_reads reads; device d handles reads [d*B, (d+1)*B)."""
+class _MeshProc:
+    """Mesh counterpart of the make_batch_processor return object: the same
+    ``single_enc`` / ``multi_enc`` / dual ``__call__`` surface, each a jitted
+    shard_map over the per-device step, so GenoRunner's dispatch methods and
+    host loop drive a mesh without knowing it."""
 
-    def __init__(self, index: VarGenoIndex, mesh: Mesh,
-                 config: GenoConfig):
-        self.config = config
+    def __init__(self, runner: "ShardedGenoRunner", cfg: GenoConfig):
+        base = make_batch_processor(runner._proc_dix(), cfg,
+                                    backend_factory=runner._backend_factory(
+                                        cfg))
+        self.shapes = base.shapes
+        mesh, axis = runner.mesh, runner.axis
+        dix = runner.dix
+        dix_specs = runner._dix_specs()
+        local_view = runner._local_view
+        data, none = P(axis), P()
+
+        # Stats come back as a PER-DEVICE (D, S) sharded vector, summed /
+        # maxed on host in _finalize_batch: the data-parallel inner loop
+        # stays completely collective-free (a per-batch psum of 16 scalars
+        # costs an all-reduce rendezvous every step -- and on oversubscribed
+        # CPU test meshes that rendezvous can trip XLA's hard timeout).
+        self._keys_single: list = []
+        self._keys_multi: list = []
+        self._keys_dual: list = []
+
+        def svec_of(stats, keys_box):
+            keys = sorted(stats)
+            keys_box.clear()
+            keys_box.extend(keys)
+            return jnp.stack([jnp.asarray(stats[k], jnp.int32)
+                              for k in keys])[None]   # (1, S) per device
+
+        raw_se = base.raw_single_enc
+        raw_me = base.raw_multi_enc
+        raw_dual = base.raw_enc
+
+        def local_single(dix_l, hi, lo, kv, rok, q, rc, ac):
+            rc, ac, process, read_ok, stats = raw_se(
+                local_view(dix_l), hi, lo, kv, rok, q, rc[0], ac[0])
+            return (rc[None], ac[None], process, read_ok,
+                    svec_of(stats, self._keys_single))
+
+        single = jax.jit(jax.shard_map(
+            local_single, mesh=mesh,
+            in_specs=(dix_specs, data, data, data, data, data, data, data),
+            out_specs=(data, data, data, data, data), check_vma=False),
+            donate_argnums=(6, 7))
+
+        def local_multi(dix_l, hi, lo, kv, rok, q, rc, ac):
+            rc, ac, process, read_ok, stats = raw_me(
+                local_view(dix_l), hi, lo, kv, rok, q, rc[0], ac[0])
+            return (rc[None], ac[None], process, read_ok,
+                    svec_of(stats, self._keys_multi))
+
+        gdata = P(None, axis)   # (G, B, ...) stacks shard the read axis
+        multi = jax.jit(jax.shard_map(
+            local_multi, mesh=mesh,
+            in_specs=(dix_specs, gdata, gdata, gdata, gdata, gdata, data,
+                      data),
+            out_specs=(data, data, gdata, gdata, data), check_vma=False),
+            donate_argnums=(6, 7))
+
+        def local_dual(dix_l, hi, lo, kv, rok, nk, q, rc, ac):
+            rc, ac, stats = raw_dual(local_view(dix_l), hi, lo, kv, rok,
+                                     nk, q, rc[0], ac[0])
+            return rc[None], ac[None], svec_of(stats, self._keys_dual)
+
+        dual = jax.jit(jax.shard_map(
+            local_dual, mesh=mesh,
+            in_specs=(dix_specs, data, data, data, data, data, data, data,
+                      data),
+            out_specs=(data, data, data), check_vma=False),
+            donate_argnums=(7, 8))
+
+        def put(a):
+            return jax.device_put(np.asarray(a), runner._data_sh)
+
+        def putg(a):
+            return jax.device_put(np.asarray(a), runner._gdata_sh)
+
+        def run_single(hi, lo, kv, rok, q, rc, ac):
+            out = single(dix, put(hi), put(lo), put(kv), put(rok), put(q),
+                         rc, ac)
+            return out, tuple(self._keys_single)
+
+        def run_multi(hi, lo, kv, rok, q, rc, ac):
+            out = multi(dix, putg(hi), putg(lo), putg(kv), putg(rok),
+                        putg(q), rc, ac)
+            return out, tuple(self._keys_multi)
+
+        def run_dual(hi, lo, kv, rok, nk, q, rc, ac):
+            out = dual(dix, put(hi), put(lo), put(kv), put(rok), put(nk),
+                       put(q), rc, ac)
+            return out, tuple(self._keys_dual)
+
+        self.single_enc = run_single
+        self.multi_enc = run_multi
+        self.dual_enc = run_dual
+
+
+class ShardedGenoRunner(GenoRunner):
+    """Data-parallel geno over a mesh. The host feeds global batches of
+    D * batch_reads reads; device d handles reads [d*B, (d+1)*B). Inherits
+    GenoRunner's pipelined/escalating/checkpointed host loop."""
+
+    def __init__(self, index: VarGenoIndex, mesh: Mesh, config: GenoConfig,
+                 queued_orientation: bool = True, metrics_path=None,
+                 dix=None):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.D = mesh.devices.size
-        self.index = index
-        dix = build_device_index(index)
-        # replicate the index across the mesh
-        repl = NamedSharding(mesh, P())
-        self.dix = jax.tree.map(
-            lambda a: jax.device_put(a, repl)
-            if isinstance(a, jax.Array) else a, dix)
-        proc = make_batch_processor(dix, config)
-        raw_enc = proc.raw_enc
-        n = dix.n_sites
+        self._data_sh = NamedSharding(mesh, P(self.axis))
+        self._gdata_sh = NamedSharding(mesh, P(None, self.axis))
+        self._repl_sh = NamedSharding(mesh, P())
+        if not config.pre_encode:
+            # the mesh dispatch path ships packed kmer words
+            config = dataclasses.replace(config, pre_encode=True)
+        if dix is None:
+            dix = self._prepare_dix(index)
+        super().__init__(index, config, queued_orientation=queued_orientation,
+                         metrics_path=metrics_path, dix=dix)
+        n = self.dix.n_sites
         self.n_sites = n
+        self.ref_cnt = jax.device_put(jnp.zeros((self.D, n + 1), jnp.int32),
+                                      self._data_sh)
+        self.alt_cnt = jax.device_put(jnp.zeros((self.D, n + 1), jnp.int32),
+                                      self._data_sh)
 
-        data = P(self.axis)
-        none = P()
+    # --- mesh plumbing (overridden by the sharded-dictionary subclass) ---
 
-        @partial(jax.jit, donate_argnums=(7, 8),
-                 static_argnames=())
-        def sharded_step(dix_t, hi, lo, kv, rok, n_kmers, qual,
-                         ref_cnt_d, alt_cnt_d):
-            def local(dix_l, hi_l, lo_l, kv_l, rok_l, nk_l, q_l, rc_l,
-                      ac_l):
-                rc, ac, stats = raw_enc(dix_l, hi_l, lo_l, kv_l, rok_l,
-                                        nk_l, q_l, rc_l[0], ac_l[0])
-                stats = {k: jax.lax.psum(v, self.axis)
-                         for k, v in stats.items()}
-                return rc[None], ac[None], stats
+    def _prepare_dix(self, index: VarGenoIndex):
+        dix = build_device_index(index)
+        return jax.tree.map(
+            lambda a: jax.device_put(a, self._repl_sh)
+            if isinstance(a, jax.Array) else a, dix)
 
-            return jax.shard_map(
-                local, mesh=self.mesh,
-                in_specs=(none, data, data, data, data, data, data, data,
-                          data),
-                out_specs=(data, data, none),
-                check_vma=False,
-            )(dix_t, hi, lo, kv, rok, n_kmers, qual, ref_cnt_d, alt_cnt_d)
+    def _proc_dix(self):
+        """Index template handed to make_batch_processor (shape/geometry
+        source for the backend factory)."""
+        return self.dix
 
-        self._step = sharded_step
+    def _dix_specs(self):
+        """shard_map in_spec (pytree prefix) for the index argument."""
+        return P()
 
-        @jax.jit
-        def merge(ref_cnt_d, alt_cnt_d):
-            return (jnp.sum(ref_cnt_d, axis=0), jnp.sum(alt_cnt_d, axis=0))
+    def _local_view(self, dix_l):
+        """Per-device view of the index inside shard_map."""
+        return dix_l
 
-        self._merge = merge
+    def _backend_factory(self, cfg: GenoConfig):
+        return None   # LocalBackend (replicated index)
 
-        self.ref_cnt_d = jax.device_put(
-            jnp.zeros((self.D, n + 1), jnp.int32), NamedSharding(mesh, data))
-        self.alt_cnt_d = jax.device_put(
-            jnp.zeros((self.D, n + 1), jnp.int32), NamedSharding(mesh, data))
-        self.stats_totals: dict = {}
-        self.n_reads = 0
-        self._shardings = dict(
-            codes=NamedSharding(mesh, data),
-            none=repl,
-        )
+    # --- GenoRunner hook overrides ---
 
-    def global_batch(self) -> int:
+    def _loop_batch(self) -> int:
         return self.D * self.config.batch_reads
 
-    def _bump(self, stats):
-        # one packed transfer for all stat scalars (not one RTT each)
-        keys = sorted(stats)
-        vals = np.asarray(jnp.stack([jnp.asarray(stats[k], jnp.int32)
-                                     for k in keys])).tolist()
-        for k, v in zip(keys, vals):
-            self.stats_totals[k] = self.stats_totals.get(k, 0) + int(v)
+    def global_batch(self) -> int:
+        return self._loop_batch()
 
-    def consume_fastq(self, fastq_path: str,
-                      limit_batches: Optional[int] = None) -> None:
-        from ..io.fastq import iter_read_batches, prefetch
+    def _proc(self, cfg: GenoConfig):
+        proc = self._procs.get(cfg)
+        if proc is None:
+            proc = self._procs[cfg] = _MeshProc(self, cfg)
+        return proc
 
-        cfg = self.config
-        K = cfg.max_kmers_per_read
-        nb = 0
-        shard = self._shardings["codes"]
+    def _fresh_counts(self):
+        n = self.dix.n_sites
+        z = jax.device_put(jnp.zeros((self.D, n + 1), jnp.int32),
+                           self._data_sh)
+        z2 = jax.device_put(jnp.zeros((self.D, n + 1), jnp.int32),
+                            self._data_sh)
+        return z, z2
 
-        def encoded_batches():
-            """Host-side pre-encode on the prefetch thread: the mesh ships
-            packed kmer words (~3.6x less than base codes per device)."""
+    def _dispatch_batch(self, codes, nk, qual, single: bool,
+                        enc=None) -> dict:
+        proc = self._proc(self._cfg_run)
+        self.step = proc
+        z, z2 = self._fresh_counts()
+        if enc is None:
             from .. import native
             from ..core.kmer import np_encode_batch
 
-            enc = (native.encode_batch if native.available()
-                   else lambda c, k, K_: np_encode_batch(c, k, K_))
-            for batch in iter_read_batches(
-                    fastq_path, self.global_batch(), cfg.max_read_len, K):
-                hi, lo, kv, rok = enc(batch.codes, batch.n_kmers, K)
-                yield hi, lo, kv, rok, batch.n_kmers, batch.qual, \
-                    batch.n_valid
+            e = (native.encode_batch if native.available()
+                 else np_encode_batch)(codes, nk,
+                                       self.config.max_kmers_per_read)
+        else:
+            e = enc
+        hi, lo, kv, rok = e
+        if single:
+            (rc, ac, process, read_ok, svec), keys = proc.single_enc(
+                hi, lo, kv, rok, qual, z, z2)
+        else:
+            (rc, ac, svec), keys = proc.dual_enc(hi, lo, kv, rok, nk, qual,
+                                                 z, z2)
+            process = read_ok = None
+        return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
+                    stats_keys=keys, stats_vec=svec,
+                    redo=lambda: self._dispatch_batch(codes, nk, qual,
+                                                      single, enc=enc),
+                    rounds=0)
 
-        pending = None   # one-behind stats sync keeps the host feeding
-        for hi, lo, kv, rok, nk, qual, n_valid in prefetch(
-                encoded_batches()):
-            args = [jax.device_put(a, shard)
-                    for a in (hi, lo, kv, rok, nk, qual)]
-            self.ref_cnt_d, self.alt_cnt_d, stats = self._step(
-                self.dix, *args, self.ref_cnt_d, self.alt_cnt_d)
-            self.n_reads += n_valid
-            if pending is not None:
-                self._bump(pending)
-            pending = stats
-            nb += 1
-            if limit_batches and nb >= limit_batches:
-                break
-        if pending is not None:
-            self._bump(pending)
+    def _dispatch_group(self, encs, quals) -> dict:
+        proc = self._proc(self._cfg_run)
+        self.step = proc
+        z, z2 = self._fresh_counts()
+        hi = np.stack([e[0] for e in encs])
+        lo = np.stack([e[1] for e in encs])
+        kv = np.stack([e[2] for e in encs])
+        rok = np.stack([e[3] for e in encs])
+        qual = np.stack(quals)
+        (rc, ac, process, read_ok, svec), keys = proc.multi_enc(
+            hi, lo, kv, rok, qual, z, z2)
+        return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
+                    stats_keys=keys, stats_vec=svec,
+                    redo=lambda: self._dispatch_group(encs, quals),
+                    rounds=0)
 
-    def calls(self):
-        from ..finalize import finalize_calls
+    def merge_counts(self):
+        """(ref, alt) summed across the device axis (device arrays)."""
+        return (jnp.sum(self.ref_cnt, axis=0), jnp.sum(self.alt_cnt, axis=0))
 
-        ref_cnt, alt_cnt = self._merge(self.ref_cnt_d, self.alt_cnt_d)
-        s = self.index.sites
-        n = s.pos.shape[0]
-        ref = np.minimum(np.asarray(ref_cnt)[:n], self.config.max_cov)
-        alt = np.minimum(np.asarray(alt_cnt)[:n], self.config.max_cov)
-        return finalize_calls(self.index.chrlens, s.pos, s.ref, s.alt,
-                              s.rf, s.af, ref, alt, self.config)
+    def _host_counts(self):
+        rc, ac = self.merge_counts()
+        return np.asarray(rc), np.asarray(ac)
 
-    def write_vcf(self, vcf_in: str, vcf_out: str) -> None:
-        from ..io.vcf_writer import write_calls_vcf
+    def _restore_ckpt(self, rc, ac) -> None:
+        """Checkpoints store merged (n+1,) counts -- layout-independent, so
+        a single-device checkpoint resumes on any mesh size and vice versa.
+        Counts are order-independent sums: restoring the merged total into
+        device row 0 is exact."""
+        rc = np.asarray(rc)
+        ac = np.asarray(ac)
+        if rc.ndim == 2:   # legacy per-device layout
+            rc, ac = rc.sum(axis=0), ac.sum(axis=0)
+        n = self.dix.n_sites
+        buf_r = np.zeros((self.D, n + 1), np.int32)
+        buf_a = np.zeros((self.D, n + 1), np.int32)
+        buf_r[0] = rc
+        buf_a[0] = ac
+        self.ref_cnt = jax.device_put(buf_r, self._data_sh)
+        self.alt_cnt = jax.device_put(buf_a, self._data_sh)
 
-        write_calls_vcf(vcf_in, vcf_out, self.calls())
+    # --- back-compat accessors (older API surface / tools) ---
+
+    @property
+    def ref_cnt_d(self):
+        return self.ref_cnt
+
+    @property
+    def alt_cnt_d(self):
+        return self.alt_cnt

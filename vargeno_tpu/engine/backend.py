@@ -55,7 +55,7 @@ class LocalBackend:
 
     def __init__(self, dix: DeviceIndex, stride_bug: bool,
                  block_size_threshold: int, scan_slot_cap: int = 100,
-                 sparse_frac: float = 0.25):
+                 sparse_frac: float = 0.25, active_frac: float = 0.25):
         self.dix = dix
         self.stride_bug = stride_bug
         self.S = block_size_threshold
@@ -68,6 +68,7 @@ class LocalBackend:
         self.snp_scan_slots = max(1, min(self.scan_slots,
                                          getattr(dix, "snp_scan_max", 1 << 30)))
         self.sparse_frac = sparse_frac
+        self.active_frac = active_frac
         self._bounds_memo: dict = {}
 
     # --- exact queries: ONE bucket-row gather chain answers both
@@ -97,21 +98,54 @@ class LocalBackend:
     # bucket-chain gathers only for the few % of lanes that pass
     sparse_overflow = None
 
+    # second overflow counter: active-lane pre-compaction cap
+    act_overflow = None
+
     def exact_both_sparse(self, q_hi, q_lo, act_ref, act_snp):
         """Prefiltered combined lookup over lanes where either dictionary
-        is being probed; one compaction, one chain of row gathers, one
-        packed scatter-back. Returns the exact_both 7-tuple with hits
-        masked by the per-dict activity masks."""
+        is being probed. TWO compactions: active lanes first (typically
+        5-25% of the probe grid -- Bloom bounds and base!=current masks
+        kill the rest), then prefilter passers (a few % of active).
+        Gathers on this device are LANE-rate-bound (~20-75 M lanes/s
+        measured, tools/bench_gather.py), not byte-bound, so shrinking the
+        prefilter gather from N to ~N/6 lanes is the probe stage's main
+        cost lever. Returns the exact_both 7-tuple with hits masked by the
+        per-dict activity masks."""
         from .hashtable import ht_lookup_both, prefilter_test
 
         d = self.dix
         shp = q_hi.shape
         qh = q_hi.reshape(-1)
         ql = q_lo.reshape(-1)
-        v = (act_ref | act_snp).reshape(-1)
+        ar = act_ref.reshape(-1)
+        as_ = act_snp.reshape(-1)
+        v = ar | as_
         N = qh.shape[0]
-        NS = max(64, min(N, int(N * self.sparse_frac)))
-        maybe = prefilter_test(d.both_pf, d.both_pf_bits, qh, ql, v)
+
+        # --- compaction 1: active lanes (packed (qh, ql) row gather) ---
+        NC = max(64, min(N, int(N * self.active_frac)))
+        tgt_a = cumsum_mask(v) - 1
+        keep_a = v & (tgt_a < NC)
+        ovf_a = jnp.sum(v) - jnp.sum(keep_a)
+        if self.act_overflow is None:
+            self.act_overflow = jnp.zeros((), I32)
+        self.act_overflow = self.act_overflow + ovf_a
+        src_a = jnp.full(NC, -1, I32).at[
+            jnp.where(keep_a, tgt_a, NC)].set(
+                jnp.arange(N, dtype=I32), mode="drop",
+                unique_indices=True)
+        a_ok = src_a >= 0
+        sa = jnp.maximum(src_a, 0)
+        keys = jnp.stack([qh, ql], axis=-1)          # (N, 2)
+        krows = jnp.where(a_ok[:, None], jnp.take(keys, sa, axis=0), U32(0))
+        qh_c = krows[:, 0]
+        ql_c = krows[:, 1]
+
+        # --- prefilter on the compacted lanes ---
+        maybe = prefilter_test(d.both_pf, d.both_pf_bits, qh_c, ql_c, a_ok)
+
+        # --- compaction 2: prefilter passers ---
+        NS = max(64, min(NC, int(N * self.sparse_frac)))
         tgt = cumsum_mask(maybe) - 1
         keep = maybe & (tgt < NS)
         ovf = jnp.sum(maybe) - jnp.sum(keep)
@@ -120,22 +154,24 @@ class LocalBackend:
         self.sparse_overflow = self.sparse_overflow + ovf
         srcs = jnp.full(NS, -1, I32).at[
             jnp.where(keep, tgt, NS)].set(
-                jnp.arange(N, dtype=I32), mode="drop",
+                jnp.arange(NC, dtype=I32), mode="drop",
                 unique_indices=True)
         s_ok = srcs >= 0
         srcs = jnp.maximum(srcs, 0)
         (r_hit, r_pos, r_flag, s_hit, s_pos, s_info, s_flag) = \
             ht_lookup_both(d.both_ht, d.both_ht_nb, d.both_ht_chain,
-                           qh[srcs], ql[srcs])
-        # one packed scatter-back: [r_pos, s_pos, bits] rows
+                           qh_c[srcs], ql_c[srcs])
+        # one packed scatter-back straight to the ORIGINAL lane ids
+        # (compose the two compactions' source maps)
         bits = (r_hit.astype(U32) | (s_hit.astype(U32) << 1)
                 | (r_flag.astype(U32) << 8) | (s_flag.astype(U32) << 16)
                 | (s_info.astype(U32) << 24))
         rows = jnp.stack([r_pos, s_pos, bits], axis=-1)      # (NS, 3)
         rows = jnp.where(s_ok[:, None], rows, U32(0))
-        full = jnp.zeros((N, 3), U32).at[
-            jnp.where(s_ok, srcs, N)].set(rows, mode="drop",
-                                          unique_indices=True)
+        orig = jnp.where(s_ok, jnp.take(src_a, srcs), N)     # NS lanes
+        orig = jnp.where(orig >= 0, orig, N)
+        full = jnp.zeros((N, 3), U32).at[orig].set(
+            rows, mode="drop", unique_indices=True)
         fr_pos = full[:, 0].reshape(shp)
         fs_pos = full[:, 1].reshape(shp)
         fb = full[:, 2].reshape(shp)

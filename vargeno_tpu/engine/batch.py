@@ -137,7 +137,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         def backend_factory(dix_t):
             return LocalBackend(dix_t, cfg.replicate_stride_bug,
                                 cfg.block_size_threshold,
-                                cfg.scan_slot_cap, cfg.sparse_frac)
+                                cfg.scan_slot_cap, cfg.sparse_frac,
+                                cfg.probe_active_frac)
 
     # probe slot geometry depends on the backend's scan capacities
     _be0 = backend_factory(dix)
@@ -780,6 +781,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         sovf = getattr(be, "sparse_overflow", None)
         if sovf is not None:
             stats["sparse_overflow"] = sovf
+        aovf_b = getattr(be, "act_overflow", None)
+        if aovf_b is not None:
+            stats["act_overflow"] = aovf_b
         if return_debug:
             debug = dict(
                 fwd_process=fwd["process"], fwd_target=fwd["target"],
@@ -822,6 +826,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         sovf = getattr(be, "sparse_overflow", None)
         if sovf is not None:
             stats["sparse_overflow"] = sovf
+        aovf_b = getattr(be, "act_overflow", None)
+        if aovf_b is not None:
+            stats["act_overflow"] = aovf_b
         return (ref_cnt, alt_cnt, res["process"], res["read_ok"], stats)
 
     def step_multi_enc(dix_t, hi, lo, kvalid, read_ok, qual, ref_cnt,
@@ -871,5 +878,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
     run.single_enc = run_single_enc
     run.multi_enc = run_multi_enc
     run.raw_single = step_single
+    run.raw_single_enc = step_single_enc  # unjitted, for shard_map wrappers
+    run.raw_multi_enc = step_multi_enc
     run.shapes = sh
     return run

@@ -23,12 +23,23 @@ from .geno import GenoRunner
 
 
 class CohortRunner:
+    """``mesh``: genotype every sample data-parallel over the device mesh
+    (ShardedGenoRunner shares one replicated index + compiled step across
+    all samples); per-sample outputs are byte-identical to N single runs
+    because per-SNP counts are order-independent saturating sums."""
+
     def __init__(self, index: store.VarGenoIndex,
                  sample_names: Sequence[str],
-                 config: GenoConfig = DEFAULT_CONFIG):
+                 config: GenoConfig = DEFAULT_CONFIG,
+                 mesh=None):
         self.index = index
         self.config = config
-        self._runner = GenoRunner(index, config)
+        if mesh is not None:
+            from ..dist.sharding import ShardedGenoRunner
+
+            self._runner = ShardedGenoRunner(index, mesh, config)
+        else:
+            self._runner = GenoRunner(index, config)
         # None until consumed: the per-batch count merge donates its input
         # buffers, so each sample starts from freshly allocated zeros
         self.counts: Dict[str, Optional[tuple]] = {
@@ -38,10 +49,8 @@ class CohortRunner:
     def consume_sample(self, name: str, fastq_path: str,
                        limit_batches: Optional[int] = None) -> None:
         r = self._runner
-        n = r.dix.n_sites
         if self.counts[name] is None:
-            r.ref_cnt = jnp.zeros(n + 1, jnp.int32)
-            r.alt_cnt = jnp.zeros(n + 1, jnp.int32)
+            r.ref_cnt, r.alt_cnt = r._fresh_counts()
         else:
             r.ref_cnt, r.alt_cnt = self.counts[name]
         r.stats_totals = {}
@@ -56,11 +65,13 @@ class CohortRunner:
         n = s.pos.shape[0]
         if self.counts[name] is None:
             z = np.zeros(n, np.int32)
-            rc, ac = z, z
+            rc_h, ac_h = z, z
         else:
-            rc, ac = self.counts[name]
-        ref = np.minimum(np.asarray(rc)[:n], self.config.max_cov)
-        alt = np.minimum(np.asarray(ac)[:n], self.config.max_cov)
+            r = self._runner
+            r.ref_cnt, r.alt_cnt = self.counts[name]
+            rc_h, ac_h = r._host_counts()
+        ref = np.minimum(rc_h[:n], self.config.max_cov)
+        alt = np.minimum(ac_h[:n], self.config.max_cov)
         return finalize_calls(self.index.chrlens, s.pos, s.ref, s.alt,
                               s.rf, s.af, ref, alt, self.config)
 

@@ -54,10 +54,19 @@ def _escalate_config(cfg: GenoConfig, tripped) -> GenoConfig:
             bump("candidates_per_read")
         elif base == "snp_scan_overflow":
             bump("scan_slot_cap", cfg.block_size_threshold)
+            # routed mode folds its compacted-scan + scan-route truncation
+            # into the same stat key; bump its caps too (inert locally)
+            bump("route_scan_slots", cfg.block_size_threshold)
+            bump("route_factor", 64.0)
         elif base == "agree_overflow":
             bump("agree_cap")
         elif base == "sparse_overflow":
             bump("sparse_frac", 1.0)
+        elif base == "act_overflow":
+            bump("probe_active_frac", 1.0)
+        elif base == "route_overflow":
+            # sharded-dictionary mode: per-(src,dst) all_to_all lane cap
+            bump("route_factor", 64.0)
     if not upd:
         return cfg
     return dataclasses.replace(cfg, **upd)
@@ -107,6 +116,31 @@ class GenoRunner:
             proc = self._procs[cfg] = make_batch_processor(self.dix, cfg)
         return proc
 
+    # --- subclass hooks (dist.sharding overrides these to run the same
+    # host loop -- pipelined dispatch, queued retries, escalation,
+    # checkpointing -- over a device mesh) ---
+
+    def _loop_batch(self) -> int:
+        """Reads per host-loop batch (the mesh runner's is D x batch)."""
+        return self.config.batch_reads
+
+    def _fresh_counts(self):
+        """Zeroed pileup accumulators in this runner's device layout."""
+        n = self.dix.n_sites
+        return jnp.zeros(n + 1, jnp.int32), jnp.zeros(n + 1, jnp.int32)
+
+    def _host_counts(self):
+        """Final (ref, alt) count arrays on host, merged across devices."""
+        return np.asarray(self.ref_cnt), np.asarray(self.alt_cnt)
+
+    def _ckpt_arrays(self):
+        """Arrays persisted by a checkpoint (device-layout-independent)."""
+        return self._host_counts()
+
+    def _restore_ckpt(self, rc, ac) -> None:
+        self.ref_cnt = jnp.asarray(rc)
+        self.alt_cnt = jnp.asarray(ac)
+
     @staticmethod
     def _merge(trc, tac, rc, ac):
         return _merge_counts(trc, tac, rc, ac)
@@ -120,11 +154,9 @@ class GenoRunner:
         batches while the device runs this one. ``enc`` is an optional
         host-pre-encoded (hi, lo, kmer_valid, read_ok) tuple; when given,
         the packed words are shipped instead of the base codes."""
-        n = self.dix.n_sites
         proc = self._proc(self._cfg_run)
         self.step = proc
-        z = jnp.zeros(n + 1, jnp.int32)
-        z2 = jnp.zeros(n + 1, jnp.int32)
+        z, z2 = self._fresh_counts()
         if enc is not None:
             assert single
             hi, lo, kv, rok = (jnp.asarray(a) for a in enc)
@@ -153,7 +185,6 @@ class GenoRunner:
         """Dispatch a group of G pre-encoded sub-batches as ONE scanned
         device call (engine.batch step_multi_enc): one transfer, one launch,
         one packed stats readback for the whole group."""
-        n = self.dix.n_sites
         proc = self._proc(self._cfg_run)
         self.step = proc
         hi = jnp.asarray(np.stack([e[0] for e in encs]))
@@ -161,8 +192,7 @@ class GenoRunner:
         kv = jnp.asarray(np.stack([e[2] for e in encs]))
         rok = jnp.asarray(np.stack([e[3] for e in encs]))
         qual = jnp.asarray(np.stack(quals))
-        z = jnp.zeros(n + 1, jnp.int32)
-        z2 = jnp.zeros(n + 1, jnp.int32)
+        z, z2 = self._fresh_counts()
         rc, ac, process, read_ok, stats = proc.multi_enc(
             hi, lo, kv, rok, qual, z, z2)
         keys = tuple(sorted(stats))
@@ -179,7 +209,12 @@ class GenoRunner:
         merge its counts into the totals. Returns (process, read_ok)."""
         while True:
             vals = np.asarray(p["stats_vec"])  # one transfer for all stats
-            stats = dict(zip(p["stats_keys"], vals.tolist()))
+            if vals.ndim == 2:   # mesh runners: per-device (D, S) rows
+                stats = {k: int(vals[:, i].max() if k.endswith("_max")
+                                else vals[:, i].sum())
+                         for i, k in enumerate(p["stats_keys"])}
+            else:
+                stats = dict(zip(p["stats_keys"], vals.tolist()))
             tripped = [k for k, v in stats.items()
                        if "overflow" in k and v]
             if not tripped or p["rounds"] >= self.config.auto_retry_max:
@@ -214,8 +249,7 @@ class GenoRunner:
             state = ckpt.load(checkpoint_path)
             if state is not None:
                 rc, ac, meta = state
-                self.ref_cnt = jnp.asarray(rc)
-                self.alt_cnt = jnp.asarray(ac)
+                self._restore_ckpt(rc, ac)
                 skip = meta["n_reads"]
                 self.n_reads = skip
         if self.queued:
@@ -225,7 +259,7 @@ class GenoRunner:
         else:
             pending = None
             for batch in prefetch(iter_read_batches(
-                    fastq_path, cfg.batch_reads, cfg.max_read_len,
+                    fastq_path, self._loop_batch(), cfg.max_read_len,
                     cfg.max_kmers_per_read, skip_reads=skip)):
                 cur = self._dispatch_batch(batch.codes, batch.n_kmers,
                                            batch.qual, single=False)
@@ -239,7 +273,7 @@ class GenoRunner:
                     pending = None
                     from . import checkpoint as ckpt
 
-                    ckpt.save(checkpoint_path, self.ref_cnt, self.alt_cnt,
+                    ckpt.save(checkpoint_path, *self._ckpt_arrays(),
                               self.n_reads)
                 if limit_batches and nb >= limit_batches:
                     break
@@ -248,8 +282,7 @@ class GenoRunner:
         if checkpoint_path:
             from . import checkpoint as ckpt
 
-            ckpt.save(checkpoint_path, self.ref_cnt, self.alt_cnt,
-                      self.n_reads)
+            ckpt.save(checkpoint_path, *self._ckpt_arrays(), self.n_reads)
         overflow = {k: v for k, v in self.stats_totals.items()
                     if "overflow" in k and v}
         if overflow:
@@ -275,7 +308,7 @@ class GenoRunner:
         st = StageTimer(sync=False) if os.environ.get("VGT_TIMING") else None
 
         cfg = self.config
-        B = cfg.batch_reads
+        B = self._loop_batch()
         depth = max(1, cfg.pipeline_depth)
         pend_codes = []
         pend_nk = []
@@ -446,7 +479,7 @@ class GenoRunner:
                 drain()
                 from . import checkpoint as ckpt
 
-                ckpt.save(checkpoint_path, self.ref_cnt, self.alt_cnt,
+                ckpt.save(checkpoint_path, *self._ckpt_arrays(),
                           self.n_reads)
             if limit_batches and nb >= limit_batches:
                 break
@@ -460,8 +493,9 @@ class GenoRunner:
     def calls(self):
         s = self.index.sites
         n = s.pos.shape[0]
-        ref = np.minimum(np.asarray(self.ref_cnt)[:n], self.config.max_cov)
-        alt = np.minimum(np.asarray(self.alt_cnt)[:n], self.config.max_cov)
+        rc, ac = self._host_counts()
+        ref = np.minimum(rc[:n], self.config.max_cov)
+        alt = np.minimum(ac[:n], self.config.max_cov)
         return finalize_calls(self.index.chrlens, s.pos, s.ref, s.alt,
                               s.rf, s.af, ref, alt, self.config)
 

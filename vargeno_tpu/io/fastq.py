@@ -17,6 +17,39 @@ import numpy as np
 from ..core.kmer import np_codes_from_bytes
 
 
+# The reference reads each FASTQ line into a 1023-char fgets buffer
+# (src/qv.cc:700), so its sequence envelope is 1022 bases = 31 k-mers;
+# reads are floored to 32-base multiples anyway (src/qv.cc:778-779), so
+# 992 padded bases reproduce its behavior for ANY input it can handle.
+REF_MAX_READ_LEN = 992
+
+
+def peek_max_read_len(path: str, n_reads: int = 8192) -> int:
+    """Maximum sequence length among the first ``n_reads`` records (fast
+    header-free scan; used by the CLI to auto-size max_read_len so >128 bp
+    FASTQs are not silently truncated at default flags)."""
+    mx = 0
+    with open(path, "rb") as f:
+        for i in range(n_reads):
+            if not f.readline():
+                break
+            seq = f.readline()
+            if not seq:
+                break
+            mx = max(mx, len(seq.rstrip(b"\n")))
+            f.readline()
+            f.readline()
+    return mx
+
+
+def autosize_read_len(path: str, n_reads: int = 8192) -> int:
+    """max_read_len for a FASTQ: the 32-multiple covering the longest of
+    the first n_reads reads, in [128, REF_MAX_READ_LEN]. (The streaming
+    reader still warns if a longer read appears later in the file.)"""
+    mx = peek_max_read_len(path, n_reads)
+    return max(128, min((mx // 32) * 32, REF_MAX_READ_LEN))
+
+
 @dataclasses.dataclass
 class ReadBatch:
     codes: np.ndarray      # (B, L) uint8 base codes; pad/N = 4, invalid = 7
@@ -41,6 +74,7 @@ def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
     n_kmers = np.zeros(B, np.int32)
     qual = np.zeros((B, Km), np.uint8)
     fill = 0
+    max_slen = 0
     with open(path, "rb") as f:
         for _ in range(skip_reads * 4):
             f.readline()
@@ -51,6 +85,7 @@ def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
             seq = f.readline().rstrip(b"\n")
             _sep = f.readline()
             q = f.readline().rstrip(b"\n")
+            max_slen = max(max_slen, len(seq))
             ln = min(len(seq), L)
             k = min(ln // 32, Km)
             c = np_codes_from_bytes(seq[:ln])
@@ -70,6 +105,15 @@ def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
                 fill = 0
     if fill:
         yield ReadBatch(codes.copy(), n_kmers.copy(), qual.copy(), fill)
+    if (max_slen // 32) * 32 > (L // 32) * 32:
+        import warnings
+
+        warnings.warn(
+            f"FASTQ contains reads up to {max_slen} bases but "
+            f"max_read_len={L}: long reads were TRUNCATED and results may "
+            f"diverge from the reference. Re-run with --max-read-len "
+            f"{min((max_slen // 32) * 32, REF_MAX_READ_LEN)} or let the "
+            f"CLI auto-size from the FASTQ.")
 
 
 def prefetch(it, depth: int = 2):
@@ -85,6 +129,7 @@ def prefetch(it, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    _ERR = object()   # sentinel wrapper: items that ARE exceptions still yield
     stop = threading.Event()
 
     def _put(item) -> bool:
@@ -99,20 +144,20 @@ def prefetch(it, depth: int = 2):
     def worker():
         try:
             for item in it:
-                if not _put(item):
+                if not _put((None, item)):
                     return
-            _put(_END)
+            _put((_END, None))
         except BaseException as e:  # noqa: BLE001 - repropagated below
-            _put(e)
+            _put((_ERR, e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
     try:
         while True:
-            item = q.get()
-            if item is _END:
+            tag, item = q.get()
+            if tag is _END:
                 return
-            if isinstance(item, BaseException):
+            if tag is _ERR:
                 raise item
             yield item
     finally:
@@ -123,3 +168,11 @@ def prefetch(it, depth: int = 2):
             except queue.Empty:
                 break
         t.join(timeout=5.0)
+        if t.is_alive():
+            # the wrapped iterator is blocked inside next() and cannot see
+            # the stop flag; surface it instead of silently leaking the
+            # daemon thread (it dies with the process either way)
+            import warnings
+            warnings.warn("prefetch worker did not stop within 5s "
+                          "(producer blocked in next()); daemon thread "
+                          "left running")

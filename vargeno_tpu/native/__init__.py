@@ -53,7 +53,8 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_uint8)]
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.vgt_encode_batch.restype = None
         lib.vgt_encode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
@@ -113,6 +114,7 @@ def fastq_batches(path: str, batch: int, L: int, K: int,
     resume)."""
     lib = _load()
     assert lib is not None
+    max_slen = ctypes.c_int64(0)
     with open(path, "rb") as f:
         lines_left = 4 * skip_reads
         carry = b""
@@ -149,7 +151,8 @@ def fastq_batches(path: str, batch: int, L: int, K: int,
                     buf, n, ctypes.byref(cursor), batch, L, K,
                     codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     n_kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                    qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    ctypes.byref(max_slen))
                 if got == 0:
                     break
                 if got < batch:
@@ -160,6 +163,21 @@ def fastq_batches(path: str, batch: int, L: int, K: int,
                 if got < batch:   # parser stopped short: window exhausted
                     break
             tail = data[cursor.value:]
+    # truncation only diverges when it costs whole k-mers: the reference
+    # itself floors reads to 32-base multiples (src/qv.cc:778-779), so a
+    # read of length in (L, L+31] encodes identically
+    if (max_slen.value // 32) * 32 > (L // 32) * 32:
+        import warnings
+
+        from ..io.fastq import REF_MAX_READ_LEN
+
+        warnings.warn(
+            f"FASTQ contains reads up to {max_slen.value} bases but "
+            f"max_read_len={L}: long reads were TRUNCATED and results may "
+            f"diverge from the reference (which handles up to 1022 bases)."
+            f" Re-run with --max-read-len "
+            f"{min((max_slen.value // 32) * 32, REF_MAX_READ_LEN)} "
+            f"or let the CLI auto-size from the FASTQ.")
 
 
 def encode_batch(codes: np.ndarray, n_kmers: np.ndarray, K: int):

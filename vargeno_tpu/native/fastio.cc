@@ -50,9 +50,14 @@ extern "C" {
 // NOT consumed (cursor stays at its '@' line), so callers can stream the
 // file in bounded windows and carry the incomplete tail into the next
 // window (native.fastq_batches).
+// max_slen (in/out): running maximum raw sequence length seen, so callers
+// can detect reads longer than the configured L (silent truncation would
+// diverge from the reference, which handles reads up to 1023 bases --
+// BUF_SIZE at src/qv.cc:700).
 int64_t vgt_fastq_batch(const char* buf, int64_t len, int64_t* cursor,
                         int64_t batch, int64_t L, int64_t K,
-                        uint8_t* codes, int32_t* n_kmers, uint8_t* qual) {
+                        uint8_t* codes, int32_t* n_kmers, uint8_t* qual,
+                        int64_t* max_slen) {
   const char* p = buf + *cursor;
   const char* end = buf + len;
   int64_t filled = 0;
@@ -79,6 +84,7 @@ int64_t vgt_fastq_batch(const char* buf, int64_t len, int64_t* cursor,
     if (nl == end) { p = rec; break; }
     p = nl + 1;
 
+    if (slen > *max_slen) *max_slen = slen;
     uint8_t* crow = codes + filled * L;
     int64_t ln = slen < L ? slen : L;
     for (int64_t i = 0; i < ln; ++i)

@@ -220,25 +220,16 @@ def _roofline_report(runner, rate):
     st = runner.stats_totals
     lanes = max(runner.n_reads * cfg.max_kmers_per_read, 1)
     lowq_frac = min(st.get("lowq_n", 0) / lanes, 1.0)
-    rates = _gather_rates()
-    glps = None
-    if rates:
-        # the workload's gather mix is ~60% word-sized, ~40% row-sized by
-        # lane count; use the word rate (the lower of the two) as the bound
-        glps = rates.get("word_gather_1048576") or rates.get(
-            "word_gather_2097152")
     return roofline.roofline(cfg, runner.dix,
                              jax.devices()[0].device_kind,
                              cfg.batch_reads, rate,
                              lowq_frac=lowq_frac,
-                             gather_lanes_per_sec=glps)
+                             gather_rates=_gather_rates())
 
 
 def main():
     fa, vcf, fq = build_dataset()
     ref_rate = measure_reference(fa, vcf, fq)
-
-    import jax
 
     index = build_index(fa, vcf)
     runner = pick_runner(index, fq)
@@ -265,9 +256,8 @@ def main():
     try:
         rep = _roofline_report(runner, rate)
         print(f"# roofline: {json.dumps(rep)}", file=sys.stderr)
+        line["lane_roofline_frac"] = rep["lane_roofline_frac"]
         line["bw_roofline_frac"] = rep["bw_roofline_frac"]
-        if "gather_roofline_frac" in rep:
-            line["gather_roofline_frac"] = rep["gather_roofline_frac"]
     except Exception as e:  # noqa: BLE001 - roofline is reporting only
         print(f"# roofline unavailable: {e!r}", file=sys.stderr)
     # record the calibration winner so perf regressions are separable from

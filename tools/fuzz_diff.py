@@ -7,6 +7,10 @@ binary on tests/fixtures/mini).
 Usage: python tools/fuzz_diff.py [n_seeds] [start_seed]
 Sweeps genome size, read counts, error rate and capacity pressure across
 seeds. Prints PASS/FAIL per seed; exits nonzero on any failure.
+
+Env: VGT_FUZZ_BIG=1 scales every seed up ~100x (10^5-10^6 reads, larger
+genomes) -- the oracle side runs fork-parallel so a big seed stays in
+minutes; use for release-level shakes of engine changes.
 """
 import os
 import sys
@@ -26,11 +30,13 @@ def run_seed(seed: int) -> bool:
     from vargeno_tpu.testing import make_synthetic
 
     rng = np.random.default_rng(seed ^ 0xF00D)
-    sizes = tuple(int(rng.integers(6_000, 40_000))
+    big = os.environ.get("VGT_FUZZ_BIG", "0") == "1"
+    scale = 100 if big else 1
+    sizes = tuple(int(rng.integers(6_000, 40_000)) * (10 if big else 1)
                   for _ in range(int(rng.integers(1, 3))))
     names = tuple(f"chr{i}" for i in range(len(sizes)))
-    n_snps = int(rng.integers(10, 200))
-    n_reads = int(rng.integers(200, 1500))
+    n_snps = int(rng.integers(10, 200)) * scale
+    n_reads = int(rng.integers(200, 1500)) * (1000 if big else 1)
     err = float(rng.choice([0.0, 0.1, 0.3, 0.6]))
     index, fa, vcf, fq = make_synthetic(
         seed=seed, sizes=sizes, names=names, n_snps=n_snps,
@@ -52,7 +58,10 @@ def run_seed(seed: int) -> bool:
     runner.consume_fastq(fq)
 
     oracle = OracleEngine(index)
-    oracle.run_fastq(fq)
+    if n_reads >= 20_000:
+        oracle.run_fastq_parallel(fq)
+    else:
+        oracle.run_fastq(fq)
     s = index.sites
     orc_ref = np.array([oracle.pileup[int(p)][4] for p in s.pos], np.int64)
     orc_alt = np.array([oracle.pileup[int(p)][5] for p in s.pos], np.int64)

@@ -93,7 +93,11 @@ class GenoConfig:
                                    # the combined tagged table answers
                                    # both dicts in one gather, making
                                    # this inert for LocalBackend)
-    pallas_vote: bool = False      # VMEM-resident vote kernel (TPU only)
+    pallas_vote: bool | None = None  # VMEM-resident vote kernel. None =
+                                   # auto: ON when the default backend is
+                                   # a TPU (the measured-fast path ships
+                                   # by default), OFF on CPU hosts where
+                                   # Mosaic would need interpret mode
     pallas_interpret: bool = False  # run Pallas kernels interpreted (CPU)
     pre_encode: bool = True        # host-side kmer packing in queued mode:
                                    # dispatch ships (hi, lo) u32 words +

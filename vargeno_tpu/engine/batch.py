@@ -126,6 +126,16 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
     """
     host_dix = dix
     cfg = config
+    # pallas_vote=None resolves by backend: the Pallas VMEM kernel is the
+    # production default on TPU; CPU (tests, oracles) uses the lax.scan
+    # path, which is equivalence-tested against it (tests/test_scan_ops)
+    use_pallas_vote = cfg.pallas_vote
+    if use_pallas_vote is None:
+        try:
+            plat = jax.devices()[0].platform
+        except Exception:  # noqa: BLE001 - no backend: scan path
+            plat = "cpu"
+        use_pallas_vote = plat != "cpu"
     sh = _Shapes(
         B=cfg.batch_reads, K=cfg.max_kmers_per_read, E=cfg.events_per_read,
         C=cfg.candidates_per_read,
@@ -574,7 +584,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         ev_seq = tuple(jnp.moveaxis(buf[f], 1, 0)
                        for f in ("idx", "k", "isnb", "valid"))
 
-        if cfg.pallas_vote:
+        if use_pallas_vote:
             from .pallas_vote import vote_scan_pallas
 
             process, target, cand_ovf = vote_scan_pallas(

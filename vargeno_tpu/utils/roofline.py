@@ -1,22 +1,28 @@
 """Roofline accounting for the genotyping inner loop.
 
 The north-star metric is reads/sec/chip for the Bloom-probe + dictionary-
-lookup loop *at roofline* (BASELINE.md). This module computes two bounds for
-a given engine configuration + measured per-batch telemetry:
+lookup loop *at roofline* (BASELINE.md). Two bounds are computed for a
+given engine configuration + measured per-batch telemetry:
 
-1. ``bytes`` bound -- the HBM traffic the engine's own data layout implies
-   per read (bucket rows, prefilter words, scan windows, event buffers,
-   pileup rows), divided into the chip's peak HBM bandwidth. This is the
-   classic bandwidth roofline.
-2. ``gather`` bound -- random-access descriptor throughput. The loop is
-   gather-dominated and each gathered lane costs far more than its bytes
-   (HBM transaction latency, XLA gather lowering); the measured per-lane
-   rate (tools/bench_gather.py) turns the engine's lane count into a bound.
+1. ``bytes`` bound -- HBM traffic / peak bandwidth. On this workload it is
+   never binding: MEASURED random-access primitives on the chip
+   (tools/bench_gather.py, dependent-chain + value-fetch timing) show
+   XLA's gather/scatter lowering costs a FIXED ~12-35 ns per lane
+   regardless of locality (sorting indices does not help), i.e. ~0.3-4
+   GB/s effective -- far under the 819 GB/s sequential peak.
+2. ``lane`` bound -- the real roofline: per-step gather/scatter lane
+   counts divided into the measured per-lane rates. This is what the
+   engine design optimizes (compaction before expansion everywhere).
 
-The reference implementation's analogous accounting would be pointer-chase
-latency over its 25 GiB working set (src/qv.cc:834-1367, SURVEY.md §3.2) --
-it runs at ~8K reads/s on one core precisely because every probe is a
-dependent cache miss.
+Measured rates (TPU v5 lite, 256 MB tables, RTT-corrected):
+word gather 81 M lanes/s; 128 B row gather 30 M lanes/s; 20 B row scatter
+29 M lanes/s; device sort 1.3 G keys/s. A fused Pallas DMA-gather kernel
+was prototyped and rejected: per-lane DMA cannot beat XLA's lowering
+(Mosaic additionally requires 128-lane-aligned row slices).
+
+Reference for the semantics being accounted: the reference's hot loop is
+the same algorithm as pointer chases (src/qv.cc:834-1367) -- one core,
+~100 ns dependent-miss each, which is why it runs at ~8K reads/s.
 """
 
 from __future__ import annotations
@@ -24,24 +30,23 @@ from __future__ import annotations
 import dataclasses
 
 
-# peak specs by device_kind substring: (HBM GB/s, notes)
+# peak HBM GB/s by device_kind substring (bytes bound only)
 DEVICE_HBM_GBPS = {
     "TPU v6": 1640.0,
     "TPU v5p": 2765.0,
-    "TPU v5 lite": 819.0,   # v5e
+    "TPU v5 lite": 819.0,
     "TPU v5": 819.0,
     "TPU v4": 1228.0,
     "TPU v3": 900.0,
     "TPU v2": 700.0,
-    "cpu": 50.0,            # nominal host DDR
+    "cpu": 50.0,
 }
 
-# measured random-gather descriptor rates (lanes/sec) by device kind, from
-# tools/bench_gather.py on real hardware; used for the gather-bound roofline.
-# Updated whenever the microbench is re-run (values recorded in docs/).
-DEVICE_GATHER_LANES_PER_SEC = {
-    "TPU v5 lite": None,   # filled from bench_gather results at runtime
+# measured per-lane random-access rates (lanes/sec); tools/bench_gather.py
+DEVICE_LANE_RATES = {
+    "TPU v5 lite": dict(word=81e6, row=30e6, scatter=29e6),
 }
+_DEFAULT_RATES = dict(word=81e6, row=30e6, scatter=29e6)
 
 
 def device_hbm_gbps(device_kind: str) -> float:
@@ -51,97 +56,111 @@ def device_hbm_gbps(device_kind: str) -> float:
     return DEVICE_HBM_GBPS["cpu"]
 
 
+def device_lane_rates(device_kind: str, measured: dict | None = None):
+    """word/row/scatter lanes-per-second; ``measured`` (a bench_gather
+    result dict) overrides the built-in table when plausible."""
+    base = dict(_DEFAULT_RATES)
+    for k, v in DEVICE_LANE_RATES.items():
+        if k.lower() in device_kind.lower():
+            base = dict(v)
+    if measured:
+        w = measured.get("word_gather_1048576") or measured.get(
+            "word_gather_2097152")
+        r = measured.get("row_gather_1048576") or measured.get(
+            "row_gather_2097152")
+        s = measured.get("scatter_rows")
+        if w:
+            base["word"] = w
+        if r:
+            base["row"] = r
+        if s:
+            base["scatter"] = s
+    return base
+
+
 @dataclasses.dataclass
 class StepTraffic:
-    """Per-single-orientation-step HBM traffic model (bytes + gather lanes).
-
-    Each term mirrors one gather/scatter family in engine/batch.py; the
-    `frac_*` inputs come from the engine's own telemetry (lowq_n,
-    probe_hits, ev_max) so the model tracks the actual workload."""
+    """Per-single-orientation-step traffic model. Each term mirrors one
+    gather/scatter family in engine/batch.py; `lowq_frac` comes from the
+    engine's own telemetry so the model tracks the actual workload."""
 
     bytes_total: float
-    lanes_total: float
+    word_lanes: float
+    row_lanes: float
+    scatter_lanes: float
     detail: dict
 
 
-def step_traffic(cfg, dix, B: int, lowq_frac: float = 0.05,
-                 pf_pass_frac: float = 0.03,
-                 agree_frac: float = 1.0) -> StepTraffic:
-    """Model one single-orientation step of B reads.
-
-    cfg: GenoConfig; dix: DeviceIndex (geometry source).
-    lowq_frac: fraction of (read, kmer) lanes entering neighbor search
-    (telemetry: lowq_n / (B*K)).
-    pf_pass_frac: prefilter pass rate among neighbor probes (telemetry:
-    probe_hits is a lower bound; default from measurements).
-    """
+def step_traffic(cfg, dix, B: int, lowq_frac: float = 0.05) -> StepTraffic:
     K = cfg.max_kmers_per_read
     chain = dix.both_ht_chain
-    row_b = dix.both_ht.shape[1] * 4        # bucket row bytes (128)
+    row_b = dix.both_ht.shape[1] * 4
     NI = max(8, int(B * K * cfg.neighbor_item_frac))
-    NI_live = min(NI, int(B * K * lowq_frac) + 1)
     NH = max(64, 4 * NI)
     E = cfg.events_per_read
     FA = max(64, B * cfg.agree_cap)
-
-    d = {}
-    # exact combined lookups: one bucket-row chain per (read, kmer) lane
-    d["exact"] = (B * K * chain, B * K * chain * row_b)
-    # block bounds: hi24 jumpgate pairs + ref_hi window rows
-    d["bounds"] = (NI_live * (2 + dix.ref_win_rows),
-                   NI_live * (2 * 4 + dix.ref_win_rows * 128))
-    # Bloom probes (2 per item) + small-block scans
+    N_probe = NI * 256   # concatenated lo+hi neighbor grids (x2 dicts)
+    NC = max(64, int(N_probe * cfg.probe_active_frac / 2))
+    NS = max(64, int(N_probe * cfg.sparse_frac / 2))
     scan_r = min(cfg.scan_slot_cap, dix.ref_scan_max)
     scan_s = min(cfg.scan_slot_cap, dix.snp_scan_max)
-    d["bf"] = (NI_live * 2, NI_live * 2 * 4)
-    d["scan"] = (NI_live * (scan_r * 2 + scan_s * 2),
-                 NI_live * (scan_r * (4 + 8) + scan_s * (8 + 8)))
-    # neighbor prefilter: 128 lanes per item, 4 B each
-    d["prefilter"] = (NI_live * 128, NI_live * 128 * 4)
-    # sparse survivors: bucket chains for prefilter passers
-    ns = max(64, int(NI * 128 * min(pf_pass_frac * 4, cfg.sparse_frac)))
-    d["sparse"] = (ns * chain, ns * chain * row_b)
-    # aux expansion rows (80 B) + per-event site-bit tests
-    d["aux"] = (NH, NH * 80)
-    # event buffer: zero-fill + grouped scatters (writes)
-    d["events"] = (B * 2 * K + NH, (B * (E + 1) * 20) + NH * 10 * 20)
-    # vote: Pallas VMEM kernel streams the (E, B) fields once
-    d["vote"] = (0, E * B * 16)
-    # pileup: packed context rows + site directory + site ra + count scatter
-    d["pileup"] = (FA * 3 + FA // 2 * 2,
-                   FA * (20 + 16) + (FA // 2) * (4 + 8))
-    lanes = float(sum(v[0] for v in d.values()))
-    byts = float(sum(v[1] for v in d.values()))
-    return StepTraffic(bytes_total=byts, lanes_total=lanes, detail=d)
+
+    # (word_lanes, row_lanes, scatter_lanes, bytes)
+    d = {}
+    d["exact"] = (0, B * K * chain, 0, B * K * chain * row_b)
+    d["bounds"] = (NI * 2, NI * dix.ref_win_rows, 0,
+                   NI * (8 + dix.ref_win_rows * 128))
+    d["bf"] = (NI * 2, 0, 0, NI * 8)
+    d["scan"] = (NI * scan_r, NI * (scan_r + 2 * scan_s), 0,
+                 NI * (scan_r * 12 + scan_s * 16))
+    d["probe_keys"] = (0, NC, 0, NC * 8)          # pre-compaction key rows
+    d["prefilter"] = (NC, 0, 0, NC * 4)
+    d["sparse"] = (0, NS * chain, NS, NS * chain * row_b)
+    d["aux"] = (0, NH, 0, NH * 80)
+    d["events"] = (0, 0, B * 2 * K + NH * 10,
+                   B * (E + 1) * 20 + NH * 10 * 20)
+    d["vote"] = (0, 0, 0, E * B * 16)             # Pallas VMEM streams
+    d["pileup"] = (FA // 2 * 2, FA * 2, FA // 2 + FA,
+                   FA * 36 + (FA // 2) * 12)
+    # compaction scatters (cumsum targets): NI items + NH hits + FA agree
+    d["compact"] = (0, 0, NI + NH + FA + NC + NS, 0)
+
+    w = float(sum(v[0] for v in d.values()))
+    r = float(sum(v[1] for v in d.values()))
+    s = float(sum(v[2] for v in d.values()))
+    byts = float(sum(v[3] for v in d.values()))
+    return StepTraffic(bytes_total=byts, word_lanes=w, row_lanes=r,
+                       scatter_lanes=s, detail=d)
 
 
 def roofline(cfg, dix, device_kind: str, B: int,
              measured_reads_per_sec: float,
              lowq_frac: float = 0.05,
              retry_frac: float = 0.25,
-             gather_lanes_per_sec: float | None = None) -> dict:
-    """Returns the roofline report dict for the bench output.
-
-    retry_frac: extra device work from reverse-orientation retry batches
-    (reads that failed forward re-run reversed; measured ~20-30%)."""
+             gather_rates: dict | None = None) -> dict:
+    """Roofline report for the bench output. retry_frac: extra device work
+    from reverse-orientation retry batches."""
     tr = step_traffic(cfg, dix, B, lowq_frac=lowq_frac)
-    mult = (1.0 + retry_frac) / B          # per read
-    bytes_per_read = tr.bytes_total * mult
-    lanes_per_read = tr.lanes_total * mult
+    mult = (1.0 + retry_frac) / B
+    rates = device_lane_rates(device_kind, gather_rates)
+    lane_time_per_read = (tr.word_lanes / rates["word"]
+                          + tr.row_lanes / rates["row"]
+                          + tr.scatter_lanes / rates["scatter"]) * mult
     bw = device_hbm_gbps(device_kind) * 1e9
+    bytes_per_read = tr.bytes_total * mult
     bw_bound = bw / bytes_per_read
+    lane_bound = 1.0 / lane_time_per_read
     out = dict(
         device=device_kind,
-        hbm_gbps=bw / 1e9,
         bytes_per_read=round(bytes_per_read, 1),
-        gather_lanes_per_read=round(lanes_per_read, 1),
+        lanes_per_read=dict(
+            word=round(tr.word_lanes * mult, 1),
+            row=round(tr.row_lanes * mult, 1),
+            scatter=round(tr.scatter_lanes * mult, 1)),
         bw_bound_reads_per_sec=round(bw_bound, 0),
+        lane_bound_reads_per_sec=round(lane_bound, 0),
         achieved_reads_per_sec=round(measured_reads_per_sec, 1),
         bw_roofline_frac=round(measured_reads_per_sec / bw_bound, 4),
+        lane_roofline_frac=round(measured_reads_per_sec / lane_bound, 4),
     )
-    if gather_lanes_per_sec:
-        g_bound = gather_lanes_per_sec / lanes_per_read
-        out["gather_bound_reads_per_sec"] = round(g_bound, 0)
-        out["gather_roofline_frac"] = round(
-            measured_reads_per_sec / g_bound, 4)
     return out

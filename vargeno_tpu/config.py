@@ -78,6 +78,13 @@ class GenoConfig:
                                    # full-key prefilter in sparse lookups
                                    # (observed pass rate ~3%; overflow is
                                    # counted and auto-retry doubles it)
+    sparse_events_frac: float = 0.0625  # compacted snp-exact + neighbor
+                                   # event lanes kept, as a fraction of
+                                   # B*(E+1) (these event classes are a
+                                   # few % dense; the dense (B,K)+(NH,10)
+                                   # scatters they replace were the step's
+                                   # largest scatter-lane cost); overflow
+                                   # counted + auto-escalated
     probe_active_frac: float = 0.25  # active-lane fraction kept by the
                                    # neighbor-probe pre-compaction (BF
                                    # bounds + base masks kill most lanes;

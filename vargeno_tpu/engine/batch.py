@@ -155,7 +155,12 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
     SCAN = _be0.scan_slots
     P_SMALL = (getattr(_be0, "ref_scan_slots", SCAN)
                + getattr(_be0, "snp_scan_slots", SCAN))
-    P_BIGLO = 16 * 4 * 2
+    # if no ref hi32 block can reach the big-block threshold (build-time
+    # measured maximum), the big-block lo-half enumeration (qv.cc:962-1108)
+    # is statically dead: elide its 128 probe grid columns entirely
+    NO_BIG = (getattr(dix, "ref_scan_max", 1 << 30)
+              < cfg.block_size_threshold)
+    P_BIGLO = 0 if NO_BIG else 16 * 4 * 2
     P_HI = 16 * 4 * 2
     P2 = P_SMALL + P_BIGLO + P_HI
 
@@ -179,8 +184,11 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         event order) matches the reference exactly: small ref scan, small
         snp scan, interleaved big-lo ref/snp, interleaved hi ref/snp."""
         NI = it_hi.shape[0]
-        bsize = be.ref_block_size(it_hi)
-        big = bsize >= jnp.int32(cfg.block_size_threshold)
+        if NO_BIG:
+            big = jnp.zeros(NI, bool)
+        else:
+            bsize = be.ref_block_size(it_hi)
+            big = bsize >= jnp.int32(cfg.block_size_threshold)
 
         # Bloom-filter pruning (qv.cc:946-956)
         ref_bit = hashes.hash32(it_lo)
@@ -219,14 +227,6 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         bgrid = jnp.repeat(bases, 4)[None, :]            # (1, 64)
         jgrid = jnp.tile(jj, 16)[None, :]
 
-        # neighbor key grids: big-block lo-half enumeration
-        # (qv.cc:965-1108) and hi-half probes (qv.cc:1213-1365)
-        cur = ((it_lo[:, None] >> (2 * bgrid).astype(U32)) & U32(3))
-        act_bl = it_valid[:, None] & big[:, None] & (jgrid != cur.astype(I32))
-        nb_lo_big = ((it_lo[:, None] & ~(U32(3) << (2 * bgrid).astype(U32)))
-                     | (jgrid.astype(U32) << (2 * bgrid).astype(U32)))
-        nb_hi_big = jnp.broadcast_to(it_hi[:, None], nb_lo_big.shape)
-
         bgrid_h = bgrid + 16
         bitpos = 2 * bgrid_h
         cur_h = ((it_hi[:, None] >> (2 * bgrid).astype(U32)) & U32(3))
@@ -240,13 +240,29 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                    & (big[:, None] | (bitpos >= 40))
                    & (bitpos < snp_bound[:, None]))
 
-        # ONE sparse combined lookup over the concatenated lo+hi grids
-        # (NI, 128): one prefilter test + one row-gather chain answers
-        # both dictionaries for every neighbor probe
-        q_hi_all = jnp.concatenate([nb_hi_big, nb_hi_h], axis=1)
-        q_lo_all = jnp.concatenate([nb_lo_big, nb_lo_h], axis=1)
-        act_ref_all = jnp.concatenate([act_bl, act_ref], axis=1)
-        act_snp_all = jnp.concatenate([act_bl, act_snp], axis=1)
+        if NO_BIG:
+            # big-block lo-half enumeration statically dead: the hi-half
+            # grids ARE the whole sparse-probe grid (NI, 64)
+            q_hi_all, q_lo_all = nb_hi_h, nb_lo_h
+            act_ref_all, act_snp_all = act_ref, act_snp
+        else:
+            # neighbor key grids: big-block lo-half enumeration
+            # (qv.cc:965-1108) ahead of the hi-half probes
+            cur = ((it_lo[:, None] >> (2 * bgrid).astype(U32)) & U32(3))
+            act_bl = it_valid[:, None] & big[:, None] \
+                & (jgrid != cur.astype(I32))
+            nb_lo_big = ((it_lo[:, None]
+                          & ~(U32(3) << (2 * bgrid).astype(U32)))
+                         | (jgrid.astype(U32) << (2 * bgrid).astype(U32)))
+            nb_hi_big = jnp.broadcast_to(it_hi[:, None], nb_lo_big.shape)
+
+            # ONE sparse combined lookup over the concatenated lo+hi grids
+            # (NI, 128): one prefilter test + one row-gather chain answers
+            # both dictionaries for every neighbor probe
+            q_hi_all = jnp.concatenate([nb_hi_big, nb_hi_h], axis=1)
+            q_lo_all = jnp.concatenate([nb_lo_big, nb_lo_h], axis=1)
+            act_ref_all = jnp.concatenate([act_bl, act_ref], axis=1)
+            act_snp_all = jnp.concatenate([act_bl, act_snp], axis=1)
         if hasattr(be, "exact_both_sparse"):
             (r_hit, r_pos, r_flag, s_hit, s_pos, s_info, s_flag) = \
                 be.exact_both_sparse(q_hi_all, q_lo_all, act_ref_all,
@@ -257,16 +273,20 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
             s_hit, s_pos, s_info, s_flag = be.exact_snp(q_hi_all, q_lo_all,
                                                         act_snp_all)
 
-        diff_all = jnp.concatenate(
-            [jnp.broadcast_to(bgrid, (NI, 64)),
-             jnp.broadcast_to(bgrid_h, (NI, 64))], axis=1)
+        PG = q_hi_all.shape[1]   # 64 (hi only) or 128 (lo+hi)
+        if NO_BIG:
+            diff_all = jnp.broadcast_to(bgrid_h, (NI, PG))
+        else:
+            diff_all = jnp.concatenate(
+                [jnp.broadcast_to(bgrid, (NI, 64)),
+                 jnp.broadcast_to(bgrid_h, (NI, 64))], axis=1)
         rows_ref = rows_of(
             r_pos, q_hi_all, q_lo_all,
-            _pack_meta(jnp.ones((NI, 128), U32), diff_all, r_flag,
-                       jnp.zeros((NI, 128), U32)))
+            _pack_meta(jnp.ones((NI, PG), U32), diff_all, r_flag,
+                       jnp.zeros((NI, PG), U32)))
         rows_snp = rows_of(
             s_pos, q_hi_all, q_lo_all,
-            _pack_meta(jnp.zeros((NI, 128), U32), diff_all, s_flag,
+            _pack_meta(jnp.zeros((NI, PG), U32), diff_all, s_flag,
                        s_info))
         hit_ref = act_ref_all & r_hit
         hit_snp = act_snp_all & s_hit
@@ -495,7 +515,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                               jnp.broadcast_to(nblo, shp), meta], axis=-1)
 
         # exact unambiguous: one event at its group's base slot; ref and
-        # snp updates ride ONE scatter over (B, 2K) sources
+        # snp hits are DENSE on real workloads (primary k-mers exist in
+        # the genome; SNP-adjacent k-mers hit the snp dict at SNP-density
+        # rate), so both ride ONE direct scatter over (B, 2K) lanes
         rows_b2 = jnp.arange(B)[:, None]
         kslot_arr = jnp.broadcast_to(jnp.arange(K, dtype=I32)[None, :],
                                      (B, K))
@@ -535,13 +557,39 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         col_rank = jnp.cumsum(nb_valid, axis=-1) - 1
         e_nb = (nb_g + within)[:, None] + col_rank
         e_nb = jnp.where(nb_valid & (e_nb < E), e_nb, E + 1)
-        packed = packed.at[h_b[:, None], e_nb].set(
-            words_for(nb_kpos,
-                      jnp.broadcast_to(h_k[:, None], nb_kpos.shape),
-                      h_nbhi[:, None], h_nblo[:, None],
-                      jnp.broadcast_to(h_diff[:, None], nb_kpos.shape),
-                      True, nb_valid),
-            mode="drop", unique_indices=True)
+        w_nb = words_for(nb_kpos,
+                         jnp.broadcast_to(h_k[:, None], nb_kpos.shape),
+                         h_nbhi[:, None], h_nblo[:, None],
+                         jnp.broadcast_to(h_diff[:, None], nb_kpos.shape),
+                         True, nb_valid)
+
+        # neighbor events are genuinely sparse (hits are a few % of the
+        # (NH, 10) aux grid); compact them across the batch and land ONE
+        # small scatter instead of the 10x-wide one (scatters cost ~fixed
+        # time per lane, tools/bench_gather.py)
+        NSE = max(64, int(B * (E + 1) * cfg.sparse_events_frac))
+        f_e = e_nb.reshape(-1)
+        f_b = jnp.broadcast_to(h_b[:, None], e_nb.shape).reshape(-1)
+        # rows carry (words..., b, e) so ONE gather materializes kept lanes
+        f_w7 = jnp.concatenate(
+            [w_nb.reshape(-1, 5), f_b[:, None].astype(U32),
+             f_e[:, None].astype(U32)], axis=1)
+        se_m = f_e < E
+        se_t = cumsum_mask(se_m) - 1
+        se_keep = se_m & (se_t < NSE)
+        sev_overflow = jnp.sum(se_m) - jnp.sum(se_keep)
+        se_src = jnp.full(NSE, -1, I32).at[
+            jnp.where(se_keep, se_t, NSE)].set(
+                jnp.arange(f_e.shape[0], dtype=I32), mode="drop",
+                unique_indices=True)
+        se_ok = se_src >= 0
+        se_rows = jnp.where(se_ok[:, None],
+                            jnp.take(f_w7, jnp.maximum(se_src, 0),
+                                     axis=0), U32(0))
+        se_b = jnp.where(se_ok, se_rows[:, 5].astype(I32), B)
+        se_e = se_rows[:, 6].astype(I32)
+        packed = packed.at[se_b, se_e].set(se_rows[:, :5], mode="drop",
+                                           unique_indices=True)
 
         pk = packed[:, :E]
         buf = dict(
@@ -559,6 +607,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         if _ablate in ("no_vote", "events"):
             stats = dict(ni_overflow=ni_overflow, probe_overflow=ph_overflow,
                          event_overflow=ev_overflow,
+                         sev_overflow=sev_overflow,
                          cand_overflow=jnp.zeros((), I32),
                          snp_scan_overflow=scan_ovf)
             return dict(buf=buf, process=jnp.zeros(B, bool),
@@ -594,6 +643,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
             stats = dict(ni_overflow=ni_overflow,
                          probe_overflow=ph_overflow,
                          event_overflow=ev_overflow,
+                         sev_overflow=sev_overflow,
                          cand_overflow=cand_ovf,
                          snp_scan_overflow=scan_ovf, **tune_stats)
             return dict(buf=buf, process=process, target=target,
@@ -651,7 +701,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         process = has_best & (best_freq > 1) & ~amb
 
         stats = dict(ni_overflow=ni_overflow, probe_overflow=ph_overflow,
-                     event_overflow=ev_overflow, cand_overflow=cand_ovf,
+                     event_overflow=ev_overflow, sev_overflow=sev_overflow,
+                     cand_overflow=cand_ovf,
                      snp_scan_overflow=scan_ovf, **tune_stats)
         return dict(buf=buf, process=process, target=target,
                     read_ok=read_ok, stats=stats)

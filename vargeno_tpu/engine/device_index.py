@@ -113,7 +113,8 @@ class DeviceIndex:
         return self.site_pos.shape[0]
 
 
-_DERIVED_VERSION = 2  # bump when table layouts / hash family change
+_DERIVED_VERSION = 3  # bump when table layouts / hash family change
+                      # (v3: 16-slot buckets, chain ~1)
 
 
 class _DerivedCache:

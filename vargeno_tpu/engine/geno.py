@@ -64,6 +64,8 @@ def _escalate_config(cfg: GenoConfig, tripped) -> GenoConfig:
             bump("sparse_frac", 1.0)
         elif base == "act_overflow":
             bump("probe_active_frac", 1.0)
+        elif base == "sev_overflow":
+            bump("sparse_events_frac", 1.0)
         elif base == "route_overflow":
             # sharded-dictionary mode: per-(src,dst) all_to_all lane cap
             bump("route_factor", 64.0)

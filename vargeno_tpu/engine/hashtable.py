@@ -43,9 +43,13 @@ class HostHashTable:
 
 def build_hash_table(hi: np.ndarray, lo: np.ndarray, pos: np.ndarray,
                      flag: np.ndarray, info: np.ndarray | None,
-                     slots_per_bucket: int = 8,
-                     target_load: float = 0.3,
+                     slots_per_bucket: int = 16,
+                     target_load: float = 0.35,
                      use_native: bool = True) -> HostHashTable:
+    """16 slots/bucket (256 B rows): at 0.35 load a bucket overflows so
+    rarely that the probe chain bound is ~1 (vs 3 with 8-slot buckets),
+    and gathers cost ~fixed time per LANE on this hardware
+    (tools/bench_gather.py), so one 256 B row beats three 128 B rows."""
     n = hi.shape[0]
     nb = 1 << max(2, int(np.ceil(np.log2(
         max(n / (slots_per_bucket * target_load), 1.0)))))

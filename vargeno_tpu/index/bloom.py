@@ -108,6 +108,8 @@ def build_ref_bfs(seqs: List[Seq], ref_bits: int, lite_bits: int):
     assert, src/util.c:104)."""
     ref_bf = BitVector.zeros(ref_bits)
     lite_bf = BitVector.zeros(lite_bits)
+    CH = 1 << 27   # chunked: full-width rolling-kmer temporaries at
+    # whole-genome scale (24 GB+) contributed to OOM on the 3 Gb rehearsal
     for s in seqs:
         codes = s.codes_raw()
         if (codes > 4).any():
@@ -117,10 +119,12 @@ def build_ref_bfs(seqs: List[Seq], ref_bits: int, lite_bits: int):
                 f"{s.full_name!r} (reference would abort)")
         if s.size < 32:
             raise ValueError("sequence shorter than k (reference asserts)")
-        kmers = _valid_rolling_kmers(codes)
-        lo = (kmers & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        ref_bf.set_hashes_mod(np_hash32(lo).astype(np.uint64))
-        lite_bf.set_hashes_mod(np_hash40(kmers & _LO40_MASK))
+        n = codes.shape[0]
+        for s0 in range(0, max(n - 31, 1), CH):
+            kmers = _valid_rolling_kmers(codes[s0:min(s0 + CH + 31, n)])
+            lo = (kmers & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            ref_bf.set_hashes_mod(np_hash32(lo).astype(np.uint64))
+            lite_bf.set_hashes_mod(np_hash40(kmers & _LO40_MASK))
     return ref_bf, lite_bf
 
 

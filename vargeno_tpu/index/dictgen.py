@@ -91,6 +91,90 @@ def _group_ambiguity(kmers_sorted: np.ndarray, aux_cols: int):
     return uniq, first, counts, pos_or_aux, flag, has_aux
 
 
+def _build_ref_rows_lean(kmers: np.ndarray, pos: np.ndarray,
+                         aux_cols: int):
+    """Memory-lean equivalent of _group_ambiguity + row assembly for
+    SORTED input, exploiting that duplicate k-mers are a tiny minority of
+    a genome: full-width temporaries are limited to two bool masks and the
+    output arrays themselves. np.unique(return_index/counts) on 3G rows
+    allocates several 24 GB int64 arrays (and re-sorts) -- it OOM'd the
+    whole-genome rehearsal on a 125 GB host.
+
+    Returns (uniq, out_pos, flag, aux_rows). Bit-identical to the
+    np.unique path (tests/test_lean_dictgen.py)."""
+    n = kmers.shape[0]
+    if n == 0:
+        return (kmers, pos.astype(np.uint32), np.zeros(0, np.uint8),
+                np.zeros((0, aux_cols), np.uint32))
+    neq = kmers[1:] != kmers[:-1]
+    is_first = np.empty(n, bool)
+    is_first[0] = True
+    is_first[1:] = neq
+    is_last = np.empty(n, bool)
+    is_last[-1] = True
+    is_last[:-1] = neq
+    del neq
+    single = is_first & is_last
+    del is_last
+
+    uniq = kmers[is_first]
+    out_pos = pos[is_first].astype(np.uint32)
+    flag = np.where(single[is_first], FLAG_UNAMBIGUOUS,
+                    FLAG_AMBIGUOUS).astype(np.uint8)
+
+    # rows belonging to duplicated k-mers (small): group starts + counts
+    dup_rows = np.flatnonzero(~single)
+    del single
+    if dup_rows.size:
+        df = is_first[dup_rows]
+        starts_in_dup = np.flatnonzero(df)
+        group_row = dup_rows[df]                      # absolute first rows
+        counts_dup = np.diff(np.append(starts_in_dup, dup_rows.size))
+        # unique-array index of each dup group: rank of its first row
+        # among all firsts, computed with a CHUNKED popcount pass (no
+        # n-wide cumsum/int64 arrays)
+        ui = _rank_at(is_first, group_row)
+        has_aux = counts_dup <= aux_cols
+        aux_id = np.cumsum(has_aux, dtype=np.int64) - 1
+        out_pos[ui] = np.where(has_aux, aux_id,
+                               np.int64(POS_AMBIGUOUS)).astype(np.uint32)
+        # flag already AMBIGUOUS for these groups
+        g = group_row[has_aux]
+        c = counts_dup[has_aux]
+        m = g.shape[0]
+        aux = np.zeros((m, aux_cols), np.uint32)
+        col = np.arange(aux_cols)
+        idx = np.minimum(g[:, None] + col[None, :], n - 1)
+        valid = col[None, :] < c[:, None]
+        aux[valid] = pos[idx][valid]
+    else:
+        aux = np.zeros((0, aux_cols), np.uint32)
+    return uniq, out_pos, flag, aux
+
+
+def _rank_at(mask: np.ndarray, positions: np.ndarray,
+             chunk: int = 1 << 26) -> np.ndarray:
+    """count of True in mask[:p] for each (sorted ascending) position p,
+    in O(len/chunk) passes with O(chunk) extra memory."""
+    out = np.empty(positions.shape[0], np.int64)
+    total = 0
+    j = 0
+    n = mask.shape[0]
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        hi = np.searchsorted(positions, e, side="left")
+        if hi > j:
+            local = np.cumsum(mask[s:e], dtype=np.int64)
+            p = positions[j:hi]
+            out[j:hi] = total + np.where(p > s, local[p - s - 1], 0)
+            j = hi
+        total += int(np.count_nonzero(mask[s:e]))
+        if j >= positions.shape[0] and s + chunk < n:
+            # remaining chunks only needed for `total`, which no one reads
+            break
+    return out
+
+
 def _aux_rows(first, counts, sel, values, aux_cols, dtype):
     """Gather zero-padded aux rows of ``values`` for selected groups."""
     f = first[sel]
@@ -112,38 +196,69 @@ def build_ref_dict(seqs: List[Seq], aux_cols: int = AUX_TABLE_COLS_DEF
     Positions are 1-based offsets into the concatenation of all chromosomes
     in FASTA order (src/dictgen.c:289, 303-320). Returns (dict, max_pos).
     """
-    all_kmers = []
-    all_pos = []
+    # two passes: count valid k-mers, then fill PREALLOCATED output arrays
+    # chunk-by-chunk. At whole-genome scale (3G k-mers = 24 GB of keys) the
+    # list-append + concatenate + fancy-index pipeline held 3-4 transient
+    # full-width copies and OOM'd a 125 GB host; this path holds exactly
+    # one (plus the sort permutation).
+    from .. import native
+
+    CH = 1 << 27   # 128M-base chunks, 31-base overlap
+
+    def chunks_of(codes):
+        n = codes.shape[0]
+        for s0 in range(0, max(n - 31, 0), CH):
+            e0 = min(s0 + CH + 31, n)
+            if native.available() and (e0 - s0) > 4096:
+                roll, ok = native.rolling_kmers(codes[s0:e0])
+            else:
+                roll = np_rolling_kmers_u64(codes[s0:e0])
+                ok = ~np_window_has_n(codes[s0:e0])
+            yield s0, roll, ok
+
+    total = 0
+    per_seq_counts = []
+    for s in seqs:
+        cnt = 0
+        if s.size >= 32:
+            codes = s.codes_normalized()
+            for _s0, _roll, ok in chunks_of(codes):
+                cnt += int(np.count_nonzero(ok))
+        per_seq_counts.append(cnt)
+        total += cnt
+
+    kmers = np.empty(total, np.uint64)
+    pos = np.empty(total, np.uint32)
+    fill = 0
     index = 1  # 1-based global position cursor
     for s in seqs:
-        codes = s.codes_normalized()
-        n = s.size
-        if n >= 32:
-            from .. import native
-
-            if codes.size > 4096 and native.available():
-                roll, ok = native.rolling_kmers(codes)
-            else:
-                roll = np_rolling_kmers_u64(codes)
-                ok = ~np_window_has_n(codes)
-            pos = (np.arange(roll.shape[0], dtype=np.uint64) +
-                   np.uint64(index)).astype(np.uint32)
-            all_kmers.append(roll[ok])
-            all_pos.append(pos[ok])
-        index += n
-    kmers = np.concatenate(all_kmers) if all_kmers else np.zeros(0, np.uint64)
-    pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.uint32)
+        if s.size >= 32:
+            codes = s.codes_normalized()
+            for s0, roll, ok in chunks_of(codes):
+                sel = np.flatnonzero(ok)
+                m = sel.shape[0]
+                kmers[fill:fill + m] = roll[sel]
+                pos[fill:fill + m] = (sel + (index + s0)).astype(np.uint32)
+                fill += m
+        index += s.size
+    assert fill == total
 
     order = _stable_argsort_u64(kmers)
-    kmers = kmers[order]
+    kmers = kmers[order]   # one transient full-width copy
     pos = pos[order]
+    del order
+
+    max_pos = int(pos.max()) if pos.size else 0
+    if total >= (1 << 26):
+        uniq, out_pos, flag, aux = _build_ref_rows_lean(kmers, pos,
+                                                        aux_cols)
+        return RefDict(kmers=uniq, pos=out_pos, flag=flag, aux=aux), max_pos
 
     uniq, first, counts, pos_or_aux, flag, has_aux = _group_ambiguity(
         kmers, aux_cols)
     out_pos = np.where(counts == 1, pos[np.minimum(first, len(pos) - 1)]
                        if len(pos) else 0, pos_or_aux).astype(np.uint32)
     aux = _aux_rows(first, counts, has_aux, pos, aux_cols, np.uint32)
-    max_pos = int(pos.max()) if pos.size else 0
     return RefDict(kmers=uniq, pos=out_pos, flag=flag, aux=aux), max_pos
 
 

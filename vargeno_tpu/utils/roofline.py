@@ -117,8 +117,11 @@ def step_traffic(cfg, dix, B: int, lowq_frac: float = 0.05) -> StepTraffic:
     d["prefilter"] = (NC, 0, 0, NC * 4)
     d["sparse"] = (0, NS * chain, NS, NS * chain * row_b)
     d["aux"] = (0, NH, 0, NH * 80)
-    d["events"] = (0, 0, B * 2 * K + NH * 10,
-                   B * (E + 1) * 20 + NH * 10 * 20)
+    # ref-exact events scatter densely (B*K); snp-exact + neighbor events
+    # are compacted to NSE lanes first (engine/batch.py sparse_events_frac)
+    NSE = max(64, int(B * (E + 1) * cfg.sparse_events_frac))
+    d["events"] = (0, NSE, B * K + 2 * NSE,
+                   B * (E + 1) * 20 + NSE * 28)
     d["vote"] = (0, 0, 0, E * B * 16)             # Pallas VMEM streams
     d["pileup"] = (FA // 2 * 2, FA * 2, FA // 2 + FA,
                    FA * 36 + (FA // 2) * 12)

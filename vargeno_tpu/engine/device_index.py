@@ -113,8 +113,8 @@ class DeviceIndex:
         return self.site_pos.shape[0]
 
 
-_DERIVED_VERSION = 3  # bump when table layouts / hash family change
-                      # (v3: 16-slot buckets, chain ~1)
+_DERIVED_VERSION = 4  # bump when table layouts / hash family change
+                      # (v4: 32-slot tile-width buckets)
 
 
 class _DerivedCache:
@@ -145,14 +145,14 @@ class _DerivedCache:
                 pass
 
     def has(self, *names: str) -> bool:
-        """All artifacts present (meta key fields AND array files)."""
-        import os
-
+        """All artifacts present. Array files count only when the CURRENT
+        meta records writing them ("files_<name>") -- a bare .npy on disk
+        may be left over from an older layout version (observed: a stale
+        4.3 GB v3 table alongside fresh v4 meta)."""
         if self.meta is None:
             return False
         for n in names:
-            if n not in self.meta and not os.path.exists(
-                    os.path.join(self.dir, n + ".npy")):
+            if n not in self.meta and not self.meta.get("files_" + n):
                 return False
         return True
 
@@ -176,6 +176,8 @@ class _DerivedCache:
                     np.save(f, np.ascontiguousarray(arr))
                 os.replace(tmp, os.path.join(self.dir, name + ".npy"))
             m = dict(self.meta) if self.meta is not None else dict(self._key)
+            for name in arrays:
+                m["files_" + name] = True
             if meta:
                 m.update(meta)
             tmp = os.path.join(self.dir, "meta.json.tmp")
@@ -281,6 +283,9 @@ def build_device_index(index: VarGenoIndex,
             np.concatenate([ref_flag_a,
                             snp_flag_a | np.uint8(0x80)]),
             np.concatenate([np.zeros_like(ref_flag_a), snp_info_a]))
+        cache.save(both_ht=both_tab.table,
+                   meta=dict(both_nb=both_tab.nb,
+                             both_chain=both_tab.chain))
 
     def jumpgate24(keys_hi24):
         """Prefix counts over the top 24 key bits: block h24 occupies rows
@@ -354,9 +359,7 @@ def build_device_index(index: VarGenoIndex,
             both_pf = prefilter_bits(
                 np.concatenate([ref_hi, snp_hi]),
                 np.concatenate([ref_lo, snp_lo]), both_pf_bits)
-            cache.save(both_ht=both_tab.table, both_pf=both_pf,
-                       meta=dict(both_nb=both_tab.nb,
-                                 both_chain=both_tab.chain))
+            cache.save(both_pf=both_pf)
 
     ref_hi, ref_lo = pad32(ref_hi), pad32(ref_lo)
     ref_pos_a, ref_flag_a = pad32(ref_pos_a), pad32(ref_flag_a)

@@ -43,13 +43,20 @@ class HostHashTable:
 
 def build_hash_table(hi: np.ndarray, lo: np.ndarray, pos: np.ndarray,
                      flag: np.ndarray, info: np.ndarray | None,
-                     slots_per_bucket: int = 16,
-                     target_load: float = 0.35,
+                     slots_per_bucket: int = 32,
+                     target_load: float = 0.5,
                      use_native: bool = True) -> HostHashTable:
-    """16 slots/bucket (256 B rows): at 0.35 load a bucket overflows so
-    rarely that the probe chain bound is ~1 (vs 3 with 8-slot buckets),
-    and gathers cost ~fixed time per LANE on this hardware
-    (tools/bench_gather.py), so one 256 B row beats three 128 B rows."""
+    """32 slots/bucket = 128 u32 = exactly ONE (8,128) TPU tile row.
+
+    Two effects, both measured on the real chip:
+    - sub-tile-width rows (8/16 slots = 64/128 B) made XLA RELAYOUT the
+      whole multi-GB table with a copy op EVERY STEP (3x ~20 ms/step on
+      the bench index: %copy of u32[16M,64] + remats in the HLO);
+      tile-width rows keep the parameter layout usable in place.
+    - at 0.5 load a 32-slot bucket practically never overflows, so the
+      probe chain bound is ~1, and gathers cost ~fixed time per LANE
+      (tools/bench_gather.py), so one wide row beats 2-3 narrow rows.
+    Memory: nb*512 B = ~32 B/key at 0.5 load (vs 53 B/key before)."""
     n = hi.shape[0]
     nb = 1 << max(2, int(np.ceil(np.log2(
         max(n / (slots_per_bucket * target_load), 1.0)))))

@@ -243,10 +243,17 @@ def build_ref_dict(seqs: List[Seq], aux_cols: int = AUX_TABLE_COLS_DEF
         index += s.size
     assert fill == total
 
-    order = _stable_argsort_u64(kmers)
-    kmers = kmers[order]   # one transient full-width copy
-    pos = pos[order]
-    del order
+    sorted_inplace = False
+    if total >= (1 << 16) and total < (1 << 32) and native.available():
+        # in-place native kv radix sort: no order array, no fancy-index
+        # copies (the argsort path's ~36 B/key of temporaries OOM'd the
+        # 3 Gb whole-genome build)
+        sorted_inplace = native.radix_sort_kv(kmers, pos)
+    if not sorted_inplace:
+        order = _stable_argsort_u64(kmers)
+        kmers = kmers[order]   # one transient full-width copy
+        pos = pos[order]
+        del order
 
     max_pos = int(pos.max()) if pos.size else 0
     if total >= (1 << 26):

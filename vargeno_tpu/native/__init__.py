@@ -87,6 +87,10 @@ def _load():
         lib.vgt_radix_argsort_u64.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint32)]
+        lib.vgt_radix_sort_kv_u64u32.restype = ctypes.c_int64
+        lib.vgt_radix_sort_kv_u64u32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
         lib.vgt_ht_build.restype = ctypes.c_int64
         lib.vgt_ht_build.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
@@ -242,6 +246,23 @@ def ht_build(hi, lo, pos, flag, info, nb: int, slots: int):
         info_p, n, nb, slots,
         table.ctypes.data_as(u32p), cap.ctypes.data_as(u8p))
     return table, int(chain)
+
+
+def radix_sort_kv(keys: np.ndarray, vals: np.ndarray) -> bool:
+    """In-place stable ascending sort of (keys u64, vals u32) pairs.
+    Returns False when unavailable (caller falls back to argsort+apply).
+    Equivalent ordering to np.argsort(kind='stable') + fancy-indexing,
+    with ~5x less peak memory (whole-genome index build requirement)."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert keys.flags.c_contiguous and vals.flags.c_contiguous
+    assert keys.dtype == np.uint64 and vals.dtype == np.uint32
+    rc = lib.vgt_radix_sort_kv_u64u32(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        keys.shape[0])
+    return rc == 0
 
 
 def radix_argsort(keys: np.ndarray) -> np.ndarray:

@@ -43,6 +43,7 @@ def test_tiny_caps_recover_exact_output(mini_index, tmp_path):
                      max_kmers_per_read=4,
                      events_per_read=6, candidates_per_read=4,
                      probe_hit_cap=4, agree_cap=2, scan_slot_cap=4,
+                     sites_per_context=1, sparse_events_frac=0.001,
                      neighbor_item_frac=0.004, auto_retry_max=6)
     runner = GenoRunner(mini_index, cfg)
     runner.consume_fastq(os.path.join(FIX, "reads.fq"))

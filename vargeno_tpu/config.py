@@ -70,6 +70,11 @@ class GenoConfig:
     agree_cap: int = 4             # AVG agreeing contexts per read: the
                                    # pileup stage's flat batch-wide context
                                    # buffer holds batch_reads*agree_cap
+    sites_per_context: int = 4     # SNP sites extracted per 32-base pileup
+                                   # context (set-bit extraction slots); a
+                                   # window with more sites overflows the
+                                   # counter and auto-escalates (max 32 =
+                                   # the reference's full window)
     replicate_stride_bug: bool = True  # qv.cc:359/448 pointer-arith bug
     scan_slot_cap: int = 24        # gathered block-scan slots (<=100); real
                                    # jumpgate blocks are tiny, overflow is

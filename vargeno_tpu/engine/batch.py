@@ -77,6 +77,7 @@ class _Shapes:
     NI: int   # neighbor work items
     H: int    # compacted probe hits per item
     A: int    # agreeing contexts per read
+    SC: int   # extracted site slots per pileup context
 
 
 def _bitrev2_u32(x):
@@ -141,7 +142,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         C=cfg.candidates_per_read,
         NI=max(8, int(cfg.batch_reads * cfg.max_kmers_per_read
                       * cfg.neighbor_item_frac)),
-        H=cfg.probe_hit_cap, A=cfg.agree_cap)
+        H=cfg.probe_hit_cap, A=cfg.agree_cap,
+        SC=min(cfg.sites_per_context, 32))
 
     if backend_factory is None:
         def backend_factory(dix_t):
@@ -758,35 +760,62 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         bm0 = jnp.where(w0 < nwords, bm0, U32(0))
         bm1 = jnp.where((w0 + 1) < nwords, bm1, U32(0))
 
-        i = jnp.arange(32, dtype=I32)[None, :]
-        active = f_ok[:, None] & (i != a_modif[:, None])
-        oi = off[:, None] + i                                 # (FA, 32)
+        # The context's 32-base site membership is ONE 32-bit mask built
+        # from the two bitmap words; sites are then extracted by repeated
+        # lowest-set-bit clearing into S slots per context (pure VPU bit
+        # math). This replaces the (FA, 32) per-base grid, whose 4M-lane
+        # compaction scatter was the step's single largest fusion in the
+        # device trace (~19 ms/step at B=32K).
+        offu = off.astype(U32)
+        m = jnp.where(f_ok,
+                      (bm0 >> offu)
+                      | jnp.where(off > 0, bm1 << (U32(32) - offu), U32(0)),
+                      U32(0))
+        # exclude the mutated base (qv.cc:1470: skip modified_pos)
+        m = m & ~jnp.where(a_modif < 32,
+                           U32(1) << jnp.clip(a_modif, 0, 31).astype(U32),
+                           U32(0))
+
+        S = sh.SC   # site slots per context (sites_per_context, escalated)
+        e_i = []
+        e_ok = []
+        mm = m
+        for _ in range(S):
+            lb = mm & (~mm + U32(1))            # lowest set bit
+            e_ok.append(lb != 0)
+            e_i.append(jax.lax.population_count(lb - U32(1)).astype(I32))
+            mm = mm & (mm - U32(1))             # clear it
+        slot_ovf = jnp.sum(jax.lax.population_count(mm).astype(I32))
+        # (windows with >S sites escalate sites_per_context)
+        x_i = jnp.stack(e_i, axis=1)            # (FA, S) base index
+        x_ok = jnp.stack(e_ok, axis=1)
+
+        # site id of each extracted bit: rank directory + popcount of the
+        # word's lower bits (word chosen by absolute offset)
+        oi = off[:, None] + x_i                 # (FA, S)
         in_w1 = oi >= 32
         bit = (oi & 31).astype(U32)
         bm = jnp.where(in_w1, bm1[:, None], bm0[:, None])
         rk = jnp.where(in_w1, rk1[:, None], rk0[:, None])
-        hit_bit = ((bm >> bit) & U32(1)) != 0
-        is_site = active & hit_bit
         low_mask = (U32(1) << bit) - U32(1)
         src = rk + jax.lax.population_count(bm & low_mask).astype(I32)
         src = jnp.minimum(src, max(n_sites - 1, 0))
 
-        # flat compaction of actual site hits (site density makes these a
-        # small fraction of FA*32 lanes), then one gather + scatter-add
+        # flat compaction of extracted hits, then one gather + scatter-add
         FG = FA // 2
-        fh = is_site.reshape(-1)
+        fh = x_ok.reshape(-1)
         gt = cumsum_mask(fh) - 1
         gk = fh & (gt < FG)
         site_ovf = jnp.sum(fh) - jnp.sum(gk)
         gs = jnp.full(FG, -1, I32).at[
             jnp.where(gk, gt, FG)].set(
-                jnp.arange(FA * 32, dtype=I32), mode="drop",
+                jnp.arange(FA * S, dtype=I32), mode="drop",
                 unique_indices=True)
         g_ok = gs >= 0
         g = jnp.maximum(gs, 0)
         g_src = jnp.where(g_ok, src.reshape(-1)[g], 0)
-        g_ctx = g // 32
-        g_i = (g % 32).astype(I32)
+        g_ctx = g // S
+        g_i = x_i.reshape(-1)[g]
         g_base = _get_base(a_nbhi[g_ctx], a_nblo[g_ctx], g_i)
 
         ra = take(dix.site_ra, g_src)
@@ -798,7 +827,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         tgt_row = jnp.where(g_ok, g_src, dump)
         ref_cnt = ref_cnt.at[tgt_row].add(add_ref.astype(I32), mode="drop")
         alt_cnt = alt_cnt.at[tgt_row].add(add_alt.astype(I32), mode="drop")
-        return ref_cnt, alt_cnt, agree_ovf + site_ovf
+        return ref_cnt, alt_cnt, agree_ovf + site_ovf, slot_ovf
 
     # ------------------------------------------------------------------
     def step(dix_t, codes, n_kmers, qual, ref_cnt, alt_cnt):
@@ -825,16 +854,17 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         use_rev = ~fwd["process"] & fwd["read_ok"] & rev["process"]
 
         if _ablate == "no_pileup":
-            aovf1 = aovf2 = jnp.zeros((), I32)
+            aovf1 = aovf2 = sovf1 = sovf2 = jnp.zeros((), I32)
         else:
-            ref_cnt, alt_cnt, aovf1 = pileup_accumulate(
+            ref_cnt, alt_cnt, aovf1, sovf1 = pileup_accumulate(
                 dix_t, fwd["buf"], use_fwd, fwd["target"], ref_cnt, alt_cnt)
-            ref_cnt, alt_cnt, aovf2 = pileup_accumulate(
+            ref_cnt, alt_cnt, aovf2, sovf2 = pileup_accumulate(
                 dix_t, rev["buf"], use_rev, rev["target"], ref_cnt, alt_cnt)
 
         stats = {("fwd_" + k): v for k, v in fwd["stats"].items()}
         stats.update({("rev_" + k): v for k, v in rev["stats"].items()})
         stats["agree_overflow"] = aovf1 + aovf2
+        stats["site_slot_overflow"] = sovf1 + sovf2
         stats["n_processed"] = jnp.sum(use_fwd | use_rev)
         rovf = getattr(be, "route_overflow", None)
         if rovf is not None:
@@ -875,11 +905,12 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         return _finish_single(dix_t, be, res, ref_cnt, alt_cnt)
 
     def _finish_single(dix_t, be, res, ref_cnt, alt_cnt):
-        ref_cnt, alt_cnt, aovf = pileup_accumulate(
+        ref_cnt, alt_cnt, aovf, sovf = pileup_accumulate(
             dix_t, res["buf"], res["process"], res["target"], ref_cnt,
             alt_cnt)
         stats = dict(res["stats"])
         stats["agree_overflow"] = aovf
+        stats["site_slot_overflow"] = sovf
         stats["n_processed"] = jnp.sum(res["process"])
         rovf = getattr(be, "route_overflow", None)
         if rovf is not None:

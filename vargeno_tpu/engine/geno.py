@@ -66,6 +66,8 @@ def _escalate_config(cfg: GenoConfig, tripped) -> GenoConfig:
             bump("probe_active_frac", 1.0)
         elif base == "sev_overflow":
             bump("sparse_events_frac", 1.0)
+        elif base == "site_slot_overflow":
+            bump("sites_per_context", 32)
         elif base == "route_overflow":
             # sharded-dictionary mode: per-(src,dst) all_to_all lane cap
             bump("route_factor", 64.0)

@@ -25,6 +25,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
+# the geno phase runs on a virtual CPU mesh (one real TPU cannot hold a
+# 3G-row dictionary, and make_mesh(N) requires N visible devices)
+_MESH = 4
+for _i, _a in enumerate(sys.argv):
+    if _a == "--mesh" and _i + 1 < len(sys.argv):
+        _MESH = int(sys.argv[_i + 1])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + f" --xla_force_host_platform_device_count="
+                             f"{_MESH}").strip()
+
 T0 = time.time()
 
 

@@ -97,11 +97,22 @@ def partition_index(index: VarGenoIndex, D: int):
     snp_hi = np.asarray(base.snp_hi)[:base.n_snp_rows]
     ref_rows, ref_firsts = _snap_boundaries(ref_hi, D)
     snp_rows, snp_firsts24 = _snap_boundaries(snp_hi >> 8, D)
+    del ref_hi, snp_hi   # views pin the unsharded arrays freed below
 
     def shard_stack(arr, rows, tail, key_fill=None, true_n=None):
         arr = np.asarray(arr)
         n = arr.shape[0] if true_n is None else true_n
         sizes = [min(rows[d + 1] + tail, n) - rows[d] for d in range(D)]
+        if max(sizes) >= (1 << 31):
+            # per-shard row offsets are int32 on device (search/scan
+            # indices); a >2^31-row shard cannot be represented. The
+            # reference caps whole dictionaries at 2^32 rows
+            # (src/qv.cc:523-526); sharded mode additionally needs
+            # >= ceil(n / 2^31) devices.
+            raise ValueError(
+                f"shard of {max(sizes)} rows exceeds the 2^31-row "
+                f"per-device limit; partition across more devices "
+                f"(D={D} given, need >= {-(-n // (1 << 31))})")
         m = max(max(sizes), 1)
         fill = key_fill if key_fill is not None else 0
         out = np.full((D, m) + arr.shape[1:], fill, arr.dtype)
@@ -112,22 +123,30 @@ def partition_index(index: VarGenoIndex, D: int):
 
     stacked = {}
     nr, ns = base.n_ref_rows, base.n_snp_rows
-    stacked["ref_hi"], ref_tot = shard_stack(base.ref_hi, ref_rows,
-                                             REF_TAIL, 0xFFFFFFFF, nr)
-    stacked["ref_lo"], _ = shard_stack(base.ref_lo, ref_rows, REF_TAIL,
-                                       0xFFFFFFFF, nr)
+
+    def stack_and_free(field, rows, tail, true_n):
+        """Stack one dict array, then drop the base's copy (at 3G rows the
+        unsharded + stacked ref arrays together exceed host RAM)."""
+        out = shard_stack(getattr(base, field), rows, tail, 0xFFFFFFFF,
+                          true_n)
+        setattr(base, field, np.zeros((1,) + out[0].shape[2:],
+                                      out[0].dtype))
+        return out
+
+    stacked["ref_hi"], ref_tot = stack_and_free("ref_hi", ref_rows,
+                                                REF_TAIL, nr)
+    stacked["ref_lo"], _ = stack_and_free("ref_lo", ref_rows, REF_TAIL, nr)
     # meta pad rows read as [POS_AMBIGUOUS, flag=0xFF]: unambiguous-looking
     # pads are impossible (same defensive fill as the old pos/flag arrays)
-    stacked["ref_meta"], _ = shard_stack(base.ref_meta, ref_rows, REF_TAIL,
-                                         0xFFFFFFFF, nr)
-    stacked["snp_hi"], snp_tot = shard_stack(base.snp_hi, snp_rows,
-                                             SNP_TAIL, 0xFFFFFFFF, ns)
-    stacked["snp_lo"], _ = shard_stack(base.snp_lo, snp_rows, SNP_TAIL,
-                                       0xFFFFFFFF, ns)
-    stacked["snp_meta"], _ = shard_stack(base.snp_meta, snp_rows, SNP_TAIL,
-                                         0xFFFFFFFF, ns)
-    stacked["snp_test"], _ = shard_stack(base.snp_test, snp_rows, SNP_TAIL,
-                                         0xFFFFFFFF, ns)
+    stacked["ref_meta"], _ = stack_and_free("ref_meta", ref_rows, REF_TAIL,
+                                            nr)
+    stacked["snp_hi"], snp_tot = stack_and_free("snp_hi", snp_rows,
+                                                SNP_TAIL, ns)
+    stacked["snp_lo"], _ = stack_and_free("snp_lo", snp_rows, SNP_TAIL, ns)
+    stacked["snp_meta"], _ = stack_and_free("snp_meta", snp_rows, SNP_TAIL,
+                                            ns)
+    stacked["snp_test"], _ = stack_and_free("snp_test", snp_rows, SNP_TAIL,
+                                            ns)
 
     plan = ShardPlan(ref_bounds_hi=jnp.asarray(ref_firsts),
                      snp_bounds_hi24=jnp.asarray(snp_firsts24))

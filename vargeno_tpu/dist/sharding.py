@@ -41,6 +41,12 @@ from ..index.store import VarGenoIndex
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} JAX device(s) are visible; for CPU-mesh "
+                f"testing set JAX_PLATFORMS=cpu and XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
@@ -243,7 +249,7 @@ class ShardedGenoRunner(GenoRunner):
                                                  z, z2)
             process = read_ok = None
         return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
-                    stats_keys=keys, stats_vec=svec,
+                    stats_keys=keys, stats_vec=svec, cfg=self._cfg_run,
                     redo=lambda: self._dispatch_batch(codes, nk, qual,
                                                       single, enc=enc),
                     rounds=0)
@@ -260,7 +266,7 @@ class ShardedGenoRunner(GenoRunner):
         (rc, ac, process, read_ok, svec), keys = proc.multi_enc(
             hi, lo, kv, rok, qual, z, z2)
         return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
-                    stats_keys=keys, stats_vec=svec,
+                    stats_keys=keys, stats_vec=svec, cfg=self._cfg_run,
                     redo=lambda: self._dispatch_group(encs, quals),
                     rounds=0)
 

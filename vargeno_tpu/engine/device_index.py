@@ -113,6 +113,31 @@ class DeviceIndex:
         return self.site_pos.shape[0]
 
 
+def max_run(sorted_keys, chunk: int = 1 << 26):
+    """Longest run of equal values in a sorted array, computed in chunks
+    (flatnonzero over a whole-genome key array allocates 8 B/unique-key
+    of temporaries)."""
+    n = sorted_keys.shape[0]
+    if n == 0:
+        return 1
+    best = 1
+    carry = 1
+    for s in range(0, n, chunk):
+        seg = sorted_keys[max(s - 1, 0):min(s + chunk, n)]
+        neq = seg[1:] != seg[:-1]
+        b = np.flatnonzero(neq)
+        if b.size == 0:
+            carry += seg.shape[0] - 1
+            best = max(best, carry)
+            continue
+        carry += int(b[0])
+        best = max(best, carry)
+        if b.size > 1:
+            best = max(best, int(np.diff(b).max()))
+        carry = seg.shape[0] - 1 - int(b[-1])
+    return max(best, carry, 1)
+
+
 _DERIVED_VERSION = 4  # bump when table layouts / hash family change
                       # (v4: 32-slot tile-width buckets)
 
@@ -287,26 +312,23 @@ def build_device_index(index: VarGenoIndex,
                    meta=dict(both_nb=both_tab.nb,
                              both_chain=both_tab.chain))
 
-    def jumpgate24(keys_hi24):
-        """Prefix counts over the top 24 key bits: block h24 occupies rows
-        [jg[h24], jg[h24+1]).  Returns (jg, max_block_rows)."""
-        counts = np.bincount(keys_hi24.astype(np.int64), minlength=1 << 24)
-        maxblk = int(counts.max(initial=1))
-        jg = np.zeros((1 << 24) + 1, np.uint32)
-        jg[1:] = np.cumsum(counts).astype(np.uint32)
-        return jg, maxblk
+    def jumpgate24(keys_hi_sorted, shift: int):
+        """Prefix counts over the top 24 key bits of a SORTED u32 key
+        array: jg[h] = first row whose (key >> shift) >= h, via
+        searchsorted with the boundary values -- no full-width bincount
+        temporaries (they cost 8 B/key at whole-genome scale).
+        Returns (jg, max_block_rows)."""
+        bounds = np.arange((1 << 24) + 1, dtype=np.uint64) << np.uint64(
+            shift)
+        bounds = np.minimum(bounds, np.uint64(0xFFFFFFFF)).astype(
+            np.uint32)
+        jg64 = np.searchsorted(keys_hi_sorted, bounds, side="left")
+        jg64[-1] = keys_hi_sorted.shape[0]
+        maxblk = int(np.diff(jg64).max(initial=1))
+        return jg64.astype(np.uint32), maxblk
 
     n_ref_rows = int(ref_hi.shape[0])
     n_snp_rows = int(snp_hi.shape[0])
-
-    def max_run(sorted_keys):
-        """Longest run of equal values in a sorted array."""
-        n = sorted_keys.shape[0]
-        if n == 0:
-            return 1
-        b = np.flatnonzero(np.diff(sorted_keys) != 0)
-        edges = np.concatenate([[-1], b, [n - 1]])
-        return max(1, int(np.diff(edges).max()))
 
     if cache.has("ref_jg", "snp_jg", "ref_win_rows", "ref_scan_max",
                  "snp_scan_max"):
@@ -316,8 +338,8 @@ def build_device_index(index: VarGenoIndex,
         ref_scan_max = cache.meta["ref_scan_max"]
         snp_scan_max = cache.meta["snp_scan_max"]
     else:
-        ref_jg, ref_maxblk = jumpgate24(ref_hi >> np.uint32(8))
-        snp_jg, snp_maxblk24 = jumpgate24(snp_hi >> np.uint32(8))
+        ref_jg, ref_maxblk = jumpgate24(ref_hi, 8)
+        snp_jg, snp_maxblk24 = jumpgate24(snp_hi, 8)
         ref_win_rows = max(1, (max(ref_maxblk, 1) + 62) // 32)
         ref_scan_max = max_run(ref_hi)            # hi32 blocks
         snp_scan_max = max(1, int(snp_maxblk24))  # snp blocks = hi24 blocks

@@ -180,7 +180,7 @@ class GenoRunner:
         keys = tuple(sorted(stats))
         svec = _pack_stats([stats[k] for k in keys])
         return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
-                    stats_keys=keys, stats_vec=svec,
+                    stats_keys=keys, stats_vec=svec, cfg=self._cfg_run,
                     redo=lambda: self._dispatch_batch(codes, nk, qual,
                                                       single, enc=enc),
                     rounds=0)
@@ -202,7 +202,7 @@ class GenoRunner:
         keys = tuple(sorted(stats))
         svec = _pack_stats([stats[k] for k in keys])
         return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
-                    stats_keys=keys, stats_vec=svec,
+                    stats_keys=keys, stats_vec=svec, cfg=self._cfg_run,
                     redo=lambda: self._dispatch_group(encs, quals),
                     rounds=0)
 
@@ -224,8 +224,12 @@ class GenoRunner:
             if not tripped or p["rounds"] >= self.config.auto_retry_max:
                 break
             new_cfg = _escalate_config(self._cfg_run, tripped)
-            if new_cfg == self._cfg_run:
-                break
+            if new_cfg == self._cfg_run and p.get("cfg") == self._cfg_run:
+                break   # caps already at their limits for this attempt
+            # With pipelined dispatch, several batches fly at the OLD
+            # config; a sibling may have escalated _cfg_run past what this
+            # attempt used, in which case redo at the current config even
+            # though escalation itself has no further step to take.
             self._cfg_run = new_cfg
             rounds = p["rounds"] + 1
             p = p["redo"]()

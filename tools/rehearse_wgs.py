@@ -32,9 +32,15 @@ for _i, _a in enumerate(sys.argv):
     if _a == "--mesh" and _i + 1 < len(sys.argv):
         _MESH = int(sys.argv[_i + 1])
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the oversubscribed CPU mesh can take minutes per giant first step; the
+# default 40s collective rendezvous termination timeout hard-aborts it
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + f" --xla_force_host_platform_device_count="
-                             f"{_MESH}").strip()
+                             f"{_MESH}"
+                           + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+                           + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+                           + " --xla_cpu_collective_timeout_seconds=7200"
+                           ).strip()
 
 T0 = time.time()
 
@@ -179,6 +185,8 @@ def main():
         f"{index.snp.kmers.shape[0]} snp rows")
 
     import jax
+
+    jax.config.update("jax_platforms", "cpu")  # axon ignores JAX_PLATFORMS
 
     from vargeno_tpu.config import GenoConfig
     from vargeno_tpu.dist.sharded_dict import ShardedDictGenoRunner

@@ -472,16 +472,23 @@ class ShardedDictGenoRunner(ShardedGenoRunner):
         # replicated fields shared, hash tables dummied out (unused).
         dummy_ht = np.zeros((1, 32), np.uint32)
         st = self._base_static
+
+        def put_shard(name):
+            # device_put COPIES; drop the host copy immediately (at 3G
+            # rows the stacked dict arrays are ~50 GB)
+            out = jax.device_put(stacked.pop(name), dsh)
+            return out
+
         shard_dix = DeviceIndex(
-            ref_hi=jax.device_put(stacked["ref_hi"], dsh),
-            ref_lo=jax.device_put(stacked["ref_lo"], dsh),
-            ref_meta=jax.device_put(stacked["ref_meta"], dsh),
+            ref_hi=put_shard("ref_hi"),
+            ref_lo=put_shard("ref_lo"),
+            ref_meta=put_shard("ref_meta"),
             aux_all=jax.device_put(base.aux_all, rsh),
             n_ref_aux=st["n_ref_aux"],
-            snp_hi=jax.device_put(stacked["snp_hi"], dsh),
-            snp_lo=jax.device_put(stacked["snp_lo"], dsh),
-            snp_meta=jax.device_put(stacked["snp_meta"], dsh),
-            snp_test=jax.device_put(stacked["snp_test"], dsh),
+            snp_hi=put_shard("snp_hi"),
+            snp_lo=put_shard("snp_lo"),
+            snp_meta=put_shard("snp_meta"),
+            snp_test=put_shard("snp_test"),
             ref_bf=jax.device_put(base.ref_bf, rsh),
             snp_bf=jax.device_put(base.snp_bf, rsh),
             site_pos=jax.device_put(base.site_pos, rsh),

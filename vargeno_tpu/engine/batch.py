@@ -37,7 +37,7 @@ from ..config import GenoConfig, NO_MODIFICATION, POS_AMBIGUOUS
 from ..core import hashes
 from . import search
 from .backend import LocalBackend
-from .scan_ops import cumsum_mask
+from .scan_ops import compact_src, cumsum_mask
 from .device_index import DeviceIndex
 
 U32 = jnp.uint32
@@ -381,13 +381,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # flat order (b, k, dict) -- target slots are precomputed, so
         # compaction order never affects event order
         am_mask = jnp.stack([r_am_v, s_am_v], axis=-1).reshape(-1)
-        am_tgt = cumsum_mask(am_mask) - 1
-        am_keep = am_mask & (am_tgt < NA)
-        amb_overflow = jnp.sum(am_mask) - jnp.sum(am_keep)
-        am_srcidx = jnp.arange(B * K * 2, dtype=I32)
-        na_src = jnp.full(NA, -1, I32).at[
-            jnp.where(am_keep, am_tgt, NA)].set(am_srcidx, mode="drop",
-                                 unique_indices=True)
+        na_src, amb_overflow = compact_src(am_mask, NA)
         na_ok = na_src >= 0
         na_s = jnp.maximum(na_src, 0)
         na_b = na_s // (K * 2)
@@ -415,13 +409,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # ---- neighbor work-item compaction ----
         lowq = kmer_valid & (qual < jnp.uint8(cfg.quality_score))
         flat_mask = lowq.reshape(-1)
-        tgt = cumsum_mask(flat_mask) - 1
-        keep = flat_mask & (tgt < NI)
-        ni_overflow = jnp.sum(flat_mask) - jnp.sum(keep)
-        src = jnp.arange(B * K, dtype=I32)
-        item_src = jnp.full(NI, -1, I32)
-        item_src = item_src.at[jnp.where(keep, tgt, NI)].set(
-            src, mode="drop", unique_indices=True)
+        item_src, ni_overflow = compact_src(flat_mask, NI)
         it_ok = item_src >= 0
         it_b = jnp.where(it_ok, item_src // K, 0)
         it_k = jnp.where(it_ok, item_src % K, 0)
@@ -439,13 +427,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # gather materializes every field of the surviving hits.
         NH = max(64, 4 * NI)
         ph_flat = p_hit.reshape(-1)                  # item-major order
-        ph_tgt = cumsum_mask(ph_flat) - 1
-        ph_keep = ph_flat & (ph_tgt < NH)
-        ph_overflow = jnp.sum(ph_flat) - jnp.sum(ph_keep)
-        ph_src = jnp.full(NH, -1, I32).at[
-            jnp.where(ph_keep, ph_tgt, NH)].set(
-                jnp.arange(NI * P2, dtype=I32), mode="drop",
-                unique_indices=True)
+        ph_src, ph_overflow = compact_src(ph_flat, NH)
         h_ok = ph_src >= 0
         h_s = jnp.maximum(ph_src, 0)
         h_item = h_s // P2
@@ -472,10 +454,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                          cand_overflow=jnp.zeros((), I32),
                          snp_scan_overflow=scan_ovf)
             z = jnp.zeros((B, E), U32)
-            buf = dict(idx=z, kpos=z, nbhi=z, nblo=z,
-                       packed=jnp.zeros((B, E, 5), U32),
-                       modif=z.astype(I32), k=z.astype(I32),
-                       isnb=z != 0, valid=z != 0)
+            buf = dict(idx=z, meta=z, k=z.astype(I32), isnb=z != 0,
+                       valid=z != 0, kt=jnp.zeros((64, 3), U32))
             return dict(buf=buf, process=jnp.zeros(B, bool),
                         target=jnp.zeros(B, U32), read_ok=read_ok,
                         stats=stats)
@@ -501,20 +481,30 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                           lowq_n=jnp.sum(lowq),
                           probe_hits=jnp.sum(jnp.where(h_ok, 1, 0)))
 
-        # One packed (B, E+1, 5) u32 buffer; every event group lands with a
-        # single scatter: words [idx, kpos, nbhi, nblo, meta] with
-        # meta = modif | k<<16 | isnb<<24 | valid<<25
-        packed = jnp.zeros((B, E + 1, 5), U32)
+        # Event records are TWO u32 words, [idx, meta] with
+        # meta = k | isnb<<5 | valid<<6 | src<<7, scattered as SEPARATE
+        # flat scalar scatters into (B*(E+1),) word buffers: on this chip
+        # a scalar-element scatter vectorizes (~600 M lanes/s measured)
+        # while a row scatter of the same source count is ~25x slower
+        # (~27 M rows/s), so two scalar scatters beat one 2-word row
+        # scatter by ~10x. Everything the pileup stage needs (kmer words,
+        # mutated-base index, kmer genome position) is re-derived from
+        # `meta`: kpos = idx + 32k, and (nb_hi, nb_lo, modif) come from
+        # one gather of a unified source table `kt` = [per-(b, k) read
+        # kmers | compacted neighbor rows], indexed by (b, k) or the meta
+        # `src` field. This replaced a 5-word-record row scatter that was
+        # the step's dominant cost.
+        NEV = B * (E + 1)
+        ev_idx_f = jnp.zeros(NEV, U32)
+        ev_meta_f = jnp.zeros(NEV, U32)
 
-        def words_for(kpos, kslot, nbhi, nblo, modif, is_nb, valid):
-            shp = kpos.shape
-            meta = (modif.astype(U32)
-                    | (kslot.astype(U32) << 16)
-                    | (U32((1 << 24)) if is_nb else U32(0))
-                    | (valid.astype(U32) << 25))
-            return jnp.stack([kpos - (kslot * 32).astype(U32), kpos,
-                              jnp.broadcast_to(nbhi, shp),
-                              jnp.broadcast_to(nblo, shp), meta], axis=-1)
+        def meta_of(kslot, is_nb, src=None):
+            m = (kslot.astype(U32)
+                 | (U32(1 << 5) if is_nb else U32(0))
+                 | U32(1 << 6))
+            if src is not None:
+                m = m | (src.astype(U32) << 7)
+            return m
 
         # exact unambiguous: one event at its group's base slot; ref and
         # snp hits are DENSE on real workloads (primary k-mers exist in
@@ -523,32 +513,48 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         rows_b2 = jnp.arange(B)[:, None]
         kslot_arr = jnp.broadcast_to(jnp.arange(K, dtype=I32)[None, :],
                                      (B, K))
-        no_mod = jnp.full((B, K), _NO_MOD)
         g_exr = goff[:, 0::3]                                  # (B, K)
         g_exs = goff[:, 1::3]
-        e_r = jnp.where(r_un_v & (g_exr < E), g_exr, E + 1)
-        e_s = jnp.where(s_un_v & (g_exs < E), g_exs, E + 1)
-        e_rs = jnp.concatenate([e_r, e_s], axis=1)             # (B, 2K)
-        w_rs = jnp.concatenate(
-            [words_for(r_pos, kslot_arr, hi, lo, no_mod, False, r_un_v),
-             words_for(s_pos, kslot_arr, hi, lo, no_mod, False, s_un_v)],
-            axis=1)
-        packed = packed.at[rows_b2, e_rs].set(w_rs, mode="drop",
-                                              unique_indices=True)
+        base2 = rows_b2 * (E + 1)
+        t_r = jnp.where(r_un_v & (g_exr < E), base2 + g_exr, NEV)
+        t_s = jnp.where(s_un_v & (g_exs < E), base2 + g_exs, NEV)
+        t_rs = jnp.concatenate([t_r, t_s], axis=1).reshape(-1)  # (B*2K,)
+        i_rs = jnp.concatenate(
+            [r_pos - (kslot_arr * 32).astype(U32),
+             s_pos - (kslot_arr * 32).astype(U32)], axis=1).reshape(-1)
+        m_ex = jnp.broadcast_to(meta_of(kslot_arr, False), (B, K))
+        m_rs = jnp.concatenate([m_ex, m_ex], axis=1).reshape(-1)
+        ev_idx_f = ev_idx_f.at[t_rs].set(i_rs, mode="drop",
+                                         unique_indices=True)
+        ev_meta_f = ev_meta_f.at[t_rs].set(m_rs, mode="drop",
+                                           unique_indices=True)
 
-        # exact ambiguous: compacted (NA, 10) aux events
+        # exact ambiguous: aux events are a few % of the (NA, 10) grid;
+        # compact them (one cheap device sort) so the scatter runs on
+        # ~real-event lanes instead of the whole grid
         na_g = goff[na_b, 3 * na_k + jnp.where(na_isref, 0, 1)]  # (NA,)
         na_rank = jnp.cumsum(na_colv, axis=-1) - 1
         e_a = na_g[:, None] + na_rank
-        e_a = jnp.where(na_colv & (e_a < E), e_a, E + 1)
-        packed = packed.at[na_b[:, None], e_a].set(
-            words_for(na_aux,
-                      jnp.broadcast_to(na_k[:, None], na_aux.shape),
-                      hi[na_b, na_k][:, None], lo[na_b, na_k][:, None],
-                      jnp.broadcast_to(jnp.int32(_NO_MOD),
-                                       na_aux.shape),
-                      False, na_colv),
-            mode="drop", unique_indices=True)
+        t_a = jnp.where(na_colv & (e_a < E),
+                        na_b[:, None] * (E + 1) + e_a, NEV)
+        NAX = max(64, 4 * NA)   # >= max aux events (10 per aux item); the
+        # spill counts into amb_overflow, whose escalation doubles NA
+        i_a = na_aux - (na_k[:, None] * 32).astype(U32)
+        m_a = jnp.broadcast_to(meta_of(na_k[:, None], False), i_a.shape)
+        fa_rows = jnp.stack(
+            [i_a.reshape(-1), m_a.reshape(-1),
+             t_a.reshape(-1).astype(U32)], axis=1)
+        ax_src, ax_ovf = compact_src((t_a < NEV).reshape(-1), NAX)
+        amb_overflow = amb_overflow + ax_ovf
+        ax_ok = ax_src >= 0
+        ax_rows = jnp.where(ax_ok[:, None],
+                            jnp.take(fa_rows, jnp.maximum(ax_src, 0),
+                                     axis=0), U32(0))
+        ax_t = jnp.where(ax_ok, ax_rows[:, 2].astype(I32), NEV)
+        ev_idx_f = ev_idx_f.at[ax_t].set(ax_rows[:, 0], mode="drop",
+                                         unique_indices=True)
+        ev_meta_f = ev_meta_f.at[ax_t].set(ax_rows[:, 1], mode="drop",
+                                           unique_indices=True)
 
         # neighbor events: (NH, 10); order within an item = (probe, col);
         # within-item base = global exclusive cumsum minus the item's start
@@ -559,51 +565,59 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         col_rank = jnp.cumsum(nb_valid, axis=-1) - 1
         e_nb = (nb_g + within)[:, None] + col_rank
         e_nb = jnp.where(nb_valid & (e_nb < E), e_nb, E + 1)
-        w_nb = words_for(nb_kpos,
-                         jnp.broadcast_to(h_k[:, None], nb_kpos.shape),
-                         h_nbhi[:, None], h_nblo[:, None],
-                         jnp.broadcast_to(h_diff[:, None], nb_kpos.shape),
-                         True, nb_valid)
 
         # neighbor events are genuinely sparse (hits are a few % of the
-        # (NH, 10) aux grid); compact them across the batch and land ONE
-        # small scatter instead of the 10x-wide one (scatters cost ~fixed
-        # time per lane, tools/bench_gather.py)
+        # (NH, 10) aux grid); compact them across the batch, keep their
+        # wide fields (kmer words, mutated base) in the compacted side
+        # table, and scatter only the 2-word records
         NSE = max(64, int(B * (E + 1) * cfg.sparse_events_frac))
         f_e = e_nb.reshape(-1)
         f_b = jnp.broadcast_to(h_b[:, None], e_nb.shape).reshape(-1)
-        # rows carry (words..., b, e) so ONE gather materializes kept lanes
-        f_w7 = jnp.concatenate(
-            [w_nb.reshape(-1, 5), f_b[:, None].astype(U32),
-             f_e[:, None].astype(U32)], axis=1)
+        f_t = jnp.where(f_e < E, f_b * (E + 1) + f_e, NEV)
+        # rows carry every field + target so ONE gather materializes them
+        f_w6 = jnp.stack(
+            [nb_kpos.reshape(-1),
+             jnp.broadcast_to(h_k[:, None], e_nb.shape).reshape(-1)
+             .astype(U32),
+             jnp.broadcast_to(h_nbhi[:, None], e_nb.shape).reshape(-1),
+             jnp.broadcast_to(h_nblo[:, None], e_nb.shape).reshape(-1),
+             jnp.broadcast_to(h_diff[:, None], e_nb.shape).reshape(-1)
+             .astype(U32),
+             f_t.astype(U32)], axis=1)
         se_m = f_e < E
-        se_t = cumsum_mask(se_m) - 1
-        se_keep = se_m & (se_t < NSE)
-        sev_overflow = jnp.sum(se_m) - jnp.sum(se_keep)
-        se_src = jnp.full(NSE, -1, I32).at[
-            jnp.where(se_keep, se_t, NSE)].set(
-                jnp.arange(f_e.shape[0], dtype=I32), mode="drop",
-                unique_indices=True)
+        se_src, sev_overflow = compact_src(se_m, NSE)
         se_ok = se_src >= 0
         se_rows = jnp.where(se_ok[:, None],
-                            jnp.take(f_w7, jnp.maximum(se_src, 0),
+                            jnp.take(f_w6, jnp.maximum(se_src, 0),
                                      axis=0), U32(0))
-        se_b = jnp.where(se_ok, se_rows[:, 5].astype(I32), B)
-        se_e = se_rows[:, 6].astype(I32)
-        packed = packed.at[se_b, se_e].set(se_rows[:, :5], mode="drop",
-                                           unique_indices=True)
+        se_t = jnp.where(se_ok, se_rows[:, 5].astype(I32), NEV)
+        se_k = se_rows[:, 1]
+        ev_idx_f = ev_idx_f.at[se_t].set(se_rows[:, 0] - se_k * U32(32),
+                                         mode="drop", unique_indices=True)
+        ev_meta_f = ev_meta_f.at[se_t].set(
+            se_k | U32(1 << 5) | U32(1 << 6)
+            | (jnp.arange(NSE, dtype=U32) << 7),
+            mode="drop", unique_indices=True)
 
-        pk = packed[:, :E]
+        # unified pileup source table: row b*K+k = the read kmer at slot k
+        # (no mutation); row B*K+j = compacted neighbor row j's mutated
+        # kmer + mutated-base index
+        kt = jnp.concatenate([
+            jnp.stack([hi.reshape(-1), lo.reshape(-1),
+                       jnp.full(B * K, _NO_MOD, U32)], axis=-1),
+            jnp.stack([se_rows[:, 2], se_rows[:, 3],
+                       jnp.where(se_ok, se_rows[:, 4], U32(_NO_MOD))],
+                      axis=-1)], axis=0)
+
+        pk_idx = ev_idx_f.reshape(B, E + 1)[:, :E]
+        meta = ev_meta_f.reshape(B, E + 1)[:, :E]
         buf = dict(
-            packed=pk,   # (B, E, 5) rows: pileup gathers contexts in ONE op
-            idx=pk[..., 0],
-            kpos=pk[..., 1],
-            nbhi=pk[..., 2],
-            nblo=pk[..., 3],
-            modif=(pk[..., 4] & U32(0xFFFF)).astype(I32),
-            k=((pk[..., 4] >> 16) & U32(0xFF)).astype(I32),
-            isnb=((pk[..., 4] >> 24) & U32(1)) != 0,
-            valid=((pk[..., 4] >> 25) & U32(1)) != 0,
+            idx=pk_idx,
+            meta=meta,
+            k=(meta & U32(0x1F)).astype(I32),
+            isnb=(meta & U32(1 << 5)) != 0,
+            valid=(meta & U32(1 << 6)) != 0,
+            kt=kt,
         )
 
         if _ablate in ("no_vote", "events"):
@@ -727,26 +741,29 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         agree = (buf["valid"] & use_mask[:, None]
                  & (buf["idx"] == target[:, None])).reshape(-1)
-        ftgt = cumsum_mask(agree) - 1
-        keep = agree & (ftgt < FA)
-        agree_ovf = jnp.sum(agree) - jnp.sum(keep)
-        src_idx = jnp.full(FA, -1, I32).at[
-            jnp.where(keep, ftgt, FA)].set(
-                jnp.arange(B * E, dtype=I32), mode="drop",
-                unique_indices=True)
+        src_idx, agree_ovf = compact_src(agree, FA)
         f_ok = src_idx >= 0
         s = jnp.maximum(src_idx, 0)
 
-        # one (FA, 5) row gather materializes every field of the agreeing
-        # contexts (invalid lanes read zero rows; f_ok masks them off)
-        rows = jnp.where(f_ok[:, None],
-                         jnp.take(buf["packed"].reshape(B * E, 5), s,
-                                  axis=0), U32(0))
-        a_kpos = rows[:, 1]
-        a_nbhi = rows[:, 2]
-        a_nblo = rows[:, 3]
-        a_modif = jnp.where(f_ok, (rows[:, 4] & U32(0xFFFF)).astype(I32),
-                            _NO_MOD)
+        # two word gathers materialize the 2-word event records of the
+        # agreeing contexts; the wide fields (kmer words, mutated-base
+        # index) come from ONE row gather of the unified source table
+        # buf["kt"] (read kmers by (b, k); neighbor rows by meta src)
+        a_idx = jnp.where(f_ok, jnp.take(buf["idx"].reshape(-1), s,
+                                         mode="clip"), U32(0))
+        K = sh.K
+        a_meta = jnp.where(f_ok, jnp.take(buf["meta"].reshape(-1), s,
+                                          mode="clip"), U32(0))
+        a_k = (a_meta & U32(0x1F)).astype(I32)
+        a_isnb = f_ok & ((a_meta & U32(1 << 5)) != 0)
+        a_src = (a_meta >> 7).astype(I32)
+        a_b = s // E
+        a_kpos = a_idx + (a_k * 32).astype(U32)
+        kt_row = jnp.where(a_isnb, B * K + a_src, a_b * K + a_k)
+        ktr = jnp.where(f_ok[:, None], take(buf["kt"], kt_row), U32(0))
+        a_nbhi = ktr[:, 0]
+        a_nblo = ktr[:, 1]
+        a_modif = jnp.where(f_ok, ktr[:, 2].astype(I32), _NO_MOD)
 
         # A context covers 32 CONSECUTIVE genome positions, so its site
         # membership lives in just two bitmap words: fetch [bitmap, rank]
@@ -804,13 +821,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # flat compaction of extracted hits, then one gather + scatter-add
         FG = FA // 2
         fh = x_ok.reshape(-1)
-        gt = cumsum_mask(fh) - 1
-        gk = fh & (gt < FG)
-        site_ovf = jnp.sum(fh) - jnp.sum(gk)
-        gs = jnp.full(FG, -1, I32).at[
-            jnp.where(gk, gt, FG)].set(
-                jnp.arange(FA * S, dtype=I32), mode="drop",
-                unique_indices=True)
+        gs, site_ovf = compact_src(fh, FG)
         g_ok = gs >= 0
         g = jnp.maximum(gs, 0)
         g_src = jnp.where(g_ok, src.reshape(-1)[g], 0)

@@ -32,7 +32,11 @@ class DeviceIndex:
     # fetches both with ONE 8-byte row gather instead of two 4/1-byte
     # gathers (XLA emits one gather op per array; packing halves the
     # scan-stage gather count).
-    ref_hi: jax.Array      # (n,) u32
+    ref_hi: jax.Array      # (n//32, 32) u32 on device (the block-bounds
+                           # window gather consumes 32-value rows; storing
+                           # the tiled 2D form avoids a full-table relayout
+                           # copy inside every step); (n,) u32 when built
+                           # host_only (sharded mode shards the flat form)
     ref_lo: jax.Array      # (n,) u32
     ref_meta: jax.Array    # (n, 2) u32 [pos, flag]
     aux_all: jax.Array     # (m_r + m_s, 10, 2) u32 [pos, snp_info]: both
@@ -406,7 +410,8 @@ def build_device_index(index: VarGenoIndex,
         ref_win_rows=ref_win_rows,
         ref_scan_max=ref_scan_max, snp_scan_max=snp_scan_max,
         n_ref_rows=n_ref_rows, n_snp_rows=n_snp_rows,
-        ref_hi=dev(ref_hi), ref_lo=dev(ref_lo),
+        ref_hi=dev(ref_hi if host_only else ref_hi.reshape(-1, 32)),
+        ref_lo=dev(ref_lo),
         ref_meta=dev(ref_meta),
         aux_all=dev(np.concatenate([
             np.stack([ref_aux_a.astype(np.uint32),

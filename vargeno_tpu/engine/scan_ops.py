@@ -67,3 +67,62 @@ def cumsum_mask(x, dtype=jnp.int32):
     if n < 2 * _C or not limit_ok:
         return jnp.cumsum(x.astype(dtype))
     return _cumsum_f32(x.astype(jnp.float32)).astype(dtype)
+
+
+def _default_compact_method() -> str:
+    """TPU: sort-based compaction (the device radix sort runs ~3 G keys/s,
+    ~10x the effective rate of a cumsum-targeted scatter of the same lane
+    count -- measured with dependent-chain timing on the v5e). CPU: the
+    cumsum+scatter path (XLA:CPU sorts are comparison-based and slower
+    than the linear scatter). Both produce identical results."""
+    import jax
+
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # noqa: BLE001 - no backend configured yet
+        plat = "cpu"
+    return "scan" if plat == "cpu" else "sort"
+
+
+def compact_src(mask, n_out: int, method: str | None = None):
+    """Stream-compaction index map: ``mask`` (M,) bool -> ``src`` (n_out,)
+    int32 where src[j] = index of the j-th set lane (in ascending lane
+    order), -1 for empty slots; plus the count of set lanes that did not
+    fit (``overflow``).
+
+    This is THE engine compaction primitive (low-quality items, probe
+    hits, ambiguous exact hits, sparse events, agreeing contexts, site
+    hits, active probe lanes).  Two exact implementations:
+
+    - ``sort``: key = lane_id | (miss << 31); one u32 device sort brings
+      every set lane to the front in order; take the first n_out keys.
+    - ``scan``: exclusive-prefix-sum targets + one scatter of the lane
+      iota (the original formulation; kept for CPU where it is faster).
+    """
+    (m,) = mask.shape
+    assert m < (1 << 31), "compact_src: lane id must fit in 31 bits"
+    if method is None:
+        method = _default_compact_method()
+    total = jnp.sum(mask, dtype=jnp.int32)
+    if method == "sort":
+        import jax
+
+        key = jnp.arange(m, dtype=jnp.uint32) | jnp.where(
+            mask, jnp.uint32(0), jnp.uint32(0x80000000))
+        if n_out > m:   # more output slots than lanes: pad with misses
+            key = jnp.concatenate(
+                [key, jnp.full(n_out - m, 0xFFFFFFFF, jnp.uint32)])
+        skey = jax.lax.sort(key, is_stable=False)[:n_out]
+        ok = skey < jnp.uint32(0x80000000)
+        src = jnp.where(ok, skey, jnp.uint32(0)).astype(jnp.int32)
+        src = jnp.where(ok, src, -1)
+        kept = jnp.sum(ok, dtype=jnp.int32)
+    else:
+        tgt = cumsum_mask(mask) - 1
+        keep = mask & (tgt < n_out)
+        src = jnp.full(n_out, -1, jnp.int32).at[
+            jnp.where(keep, tgt, n_out)].set(
+                jnp.arange(m, dtype=jnp.int32), mode="drop",
+                unique_indices=True)
+        kept = jnp.sum(keep, dtype=jnp.int32)
+    return src, total - kept

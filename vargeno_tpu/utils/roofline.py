@@ -43,10 +43,16 @@ DEVICE_HBM_GBPS = {
 }
 
 # measured per-lane random-access rates (lanes/sec); tools/bench_gather.py
+# word/row: 4 B / 128 B gathers from large tables. scatter: row scatters
+# (the engine has none left on the hot path). scalar: flat scalar-element
+# scatters (vectorized, ~25x a row scatter). sort: u32 device sort keys/s
+# (the compaction primitive).
 DEVICE_LANE_RATES = {
-    "TPU v5 lite": dict(word=81e6, row=30e6, scatter=29e6),
+    "TPU v5 lite": dict(word=81e6, row=30e6, scatter=29e6,
+                        scalar=600e6, sort=2.5e9),
 }
-_DEFAULT_RATES = dict(word=81e6, row=30e6, scatter=29e6)
+_DEFAULT_RATES = dict(word=81e6, row=30e6, scatter=29e6,
+                      scalar=600e6, sort=2.5e9)
 
 
 def device_hbm_gbps(device_kind: str) -> float:
@@ -69,25 +75,32 @@ def device_lane_rates(device_kind: str, measured: dict | None = None):
         r = measured.get("row_gather_1048576") or measured.get(
             "row_gather_2097152")
         s = measured.get("scatter_rows")
+        sc = measured.get("scatter_scalar")
+        so = measured.get("device_sort_u32")
         if w:
             base["word"] = w
         if r:
             base["row"] = r
         if s:
             base["scatter"] = s
+        if sc:
+            base["scalar"] = sc
+        if so:
+            base["sort"] = so
     return base
 
 
 @dataclasses.dataclass
 class StepTraffic:
     """Per-single-orientation-step traffic model. Each term mirrors one
-    gather/scatter family in engine/batch.py; `lowq_frac` comes from the
-    engine's own telemetry so the model tracks the actual workload."""
+    gather/scatter/sort family in engine/batch.py; `lowq_frac` comes from
+    the engine's own telemetry so the model tracks the actual workload."""
 
     bytes_total: float
     word_lanes: float
     row_lanes: float
-    scatter_lanes: float
+    scalar_lanes: float    # scalar-element scatter source lanes
+    sort_keys: float       # u32 keys through sort-based compactions
     detail: dict
 
 
@@ -99,41 +112,50 @@ def step_traffic(cfg, dix, B: int, lowq_frac: float = 0.05) -> StepTraffic:
     NH = max(64, 4 * NI)
     E = cfg.events_per_read
     FA = max(64, B * cfg.agree_cap)
-    N_probe = NI * 256   # concatenated lo+hi neighbor grids (x2 dicts)
-    NC = max(64, int(N_probe * cfg.probe_active_frac / 2))
-    NS = max(64, int(N_probe * cfg.sparse_frac / 2))
+    no_big = dix.ref_scan_max < cfg.block_size_threshold
+    PG = 64 if no_big else 128       # neighbor key grid columns
+    N_probe = NI * PG * 2            # x2 dicts (interleaved columns)
+    NC = max(64, int(NI * PG * cfg.probe_active_frac))
+    NS = max(64, int(NI * PG * cfg.sparse_frac))
     scan_r = min(cfg.scan_slot_cap, dix.ref_scan_max)
     scan_s = min(cfg.scan_slot_cap, dix.snp_scan_max)
-
-    # (word_lanes, row_lanes, scatter_lanes, bytes)
-    d = {}
-    d["exact"] = (0, B * K * chain, 0, B * K * chain * row_b)
-    d["bounds"] = (NI * 2, NI * dix.ref_win_rows, 0,
-                   NI * (8 + dix.ref_win_rows * 128))
-    d["bf"] = (NI * 2, 0, 0, NI * 8)
-    d["scan"] = (NI * scan_r, NI * (scan_r + 2 * scan_s), 0,
-                 NI * (scan_r * 12 + scan_s * 16))
-    d["probe_keys"] = (0, NC, 0, NC * 8)          # pre-compaction key rows
-    d["prefilter"] = (NC, 0, 0, NC * 4)
-    d["sparse"] = (0, NS * chain, NS, NS * chain * row_b)
-    d["aux"] = (0, NH, 0, NH * 80)
-    # ref-exact events scatter densely (B*K); snp-exact + neighbor events
-    # are compacted to NSE lanes first (engine/batch.py sparse_events_frac)
+    NA = max(64, B // 4)
+    NAX = max(64, 4 * NA)
     NSE = max(64, int(B * (E + 1) * cfg.sparse_events_frac))
-    d["events"] = (0, NSE, B * K + 2 * NSE,
-                   B * (E + 1) * 20 + NSE * 28)
-    d["vote"] = (0, 0, 0, E * B * 16)             # Pallas VMEM streams
-    d["pileup"] = (FA // 2 * 2, FA * 2, FA // 2 + FA,
+
+    # (word_lanes, row_lanes, scalar_scatter_lanes, sort_keys, bytes)
+    d = {}
+    d["exact"] = (0, B * K * chain, 0, 0, B * K * chain * row_b)
+    d["bounds"] = (NI * 2, NI * dix.ref_win_rows, 0, 0,
+                   NI * (8 + dix.ref_win_rows * 128))
+    d["bf"] = (NI * 2, 0, 0, 0, NI * 8)
+    d["scan"] = (NI * scan_r, NI * (scan_r + 2 * scan_s), 0, 0,
+                 NI * (scan_r * 12 + scan_s * 16))
+    d["probe_keys"] = (0, NC, 0, 0, NC * 8)       # pre-compaction key rows
+    d["prefilter"] = (NC, 0, 0, 0, NC * 4)
+    d["sparse"] = (0, NS * chain, 3 * NS, 0, NS * chain * row_b)
+    d["aux"] = (0, NH, 0, 0, NH * 80)
+    # events: ref+snp exact scatter densely (B*2K); aux + neighbor events
+    # are compacted first; every record is 2 scalar word scatters
+    d["events"] = (0, NAX + NSE, 2 * (B * 2 * K + NAX + NSE), 0,
+                   B * (E + 1) * 8 + (NAX + NSE) * 28)
+    d["vote"] = (0, 0, 0, 0, E * B * 8)           # Pallas VMEM streams
+    d["pileup"] = (2 * FA + FA // 2, 2 * FA, FA, 0,
                    FA * 36 + (FA // 2) * 12)
-    # compaction scatters (cumsum targets): NI items + NH hits + FA agree
-    d["compact"] = (0, 0, NI + NH + FA + NC + NS, 0)
+    # sort-based compactions: items + probe hits + amb + aux + sparse
+    # events + agree contexts + site hits + active/sparse probe lanes
+    d["compact"] = (0, 0, 0,
+                    B * K + NI * (PG * 2 + scan_r + scan_s) + B * K * 2
+                    + NA * 10 + NH * 10 + B * E + FA * cfg.sites_per_context
+                    + NI * PG * (1 + cfg.probe_active_frac), 0)
 
     w = float(sum(v[0] for v in d.values()))
     r = float(sum(v[1] for v in d.values()))
     s = float(sum(v[2] for v in d.values()))
-    byts = float(sum(v[3] for v in d.values()))
+    so = float(sum(v[3] for v in d.values()))
+    byts = float(sum(v[4] for v in d.values()))
     return StepTraffic(bytes_total=byts, word_lanes=w, row_lanes=r,
-                       scatter_lanes=s, detail=d)
+                       scalar_lanes=s, sort_keys=so, detail=d)
 
 
 def roofline(cfg, dix, device_kind: str, B: int,
@@ -148,7 +170,8 @@ def roofline(cfg, dix, device_kind: str, B: int,
     rates = device_lane_rates(device_kind, gather_rates)
     lane_time_per_read = (tr.word_lanes / rates["word"]
                           + tr.row_lanes / rates["row"]
-                          + tr.scatter_lanes / rates["scatter"]) * mult
+                          + tr.scalar_lanes / rates["scalar"]
+                          + tr.sort_keys / rates["sort"]) * mult
     bw = device_hbm_gbps(device_kind) * 1e9
     bytes_per_read = tr.bytes_total * mult
     bw_bound = bw / bytes_per_read
@@ -159,7 +182,8 @@ def roofline(cfg, dix, device_kind: str, B: int,
         lanes_per_read=dict(
             word=round(tr.word_lanes * mult, 1),
             row=round(tr.row_lanes * mult, 1),
-            scatter=round(tr.scatter_lanes * mult, 1)),
+            scalar=round(tr.scalar_lanes * mult, 1),
+            sort=round(tr.sort_keys * mult, 1)),
         bw_bound_reads_per_sec=round(bw_bound, 0),
         lane_bound_reads_per_sec=round(lane_bound, 0),
         achieved_reads_per_sec=round(measured_reads_per_sec, 1),

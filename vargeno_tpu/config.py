@@ -79,6 +79,12 @@ class GenoConfig:
     scan_slot_cap: int = 24        # gathered block-scan slots (<=100); real
                                    # jumpgate blocks are tiny, overflow is
                                    # counted if one exceeds the cap
+    scan_active_frac: float = 0.25  # block-scan lane compaction: fraction
+                                   # of the (items x scan slots) grid kept
+                                   # as real test lanes (j < block size;
+                                   # typical blocks are 1-2 rows against
+                                   # 13-24 slots); overflow is counted and
+                                   # auto-escalated with the scan caps
     sparse_frac: float = 0.0625    # survivor-lane fraction kept after the
                                    # full-key prefilter in sparse lookups
                                    # (observed pass rate ~3%; overflow is

@@ -55,11 +55,13 @@ class LocalBackend:
 
     def __init__(self, dix: DeviceIndex, stride_bug: bool,
                  block_size_threshold: int, scan_slot_cap: int = 100,
-                 sparse_frac: float = 0.25, active_frac: float = 0.25):
+                 sparse_frac: float = 0.25, active_frac: float = 0.25,
+                 scan_active_frac: float = 1.0):
         self.dix = dix
         self.stride_bug = stride_bug
         self.S = block_size_threshold
         self.scan_slots = min(scan_slot_cap, block_size_threshold)
+        self.scan_active_frac = scan_active_frac
         # no block ever exceeds the build-time measured maxima, so the
         # scan width shrinks to the data's bound (exact: larger blocks
         # take the big-block path / cannot exist)
@@ -239,6 +241,33 @@ class LocalBackend:
 
     # --- block Hamming scans ---
 
+    def _scan_lanes(self, NI: int, S: int, active, bsize):
+        """Compact the (item, slot) scan grid to its REAL test lanes
+        (j < block size; typical blocks are 1-2 rows against 13-24
+        slots), so the dictionary-row gathers run on ~block-sum lanes
+        instead of the full grid. Returns (ci, cj, c_ok, spill)."""
+        j = jnp.arange(S, dtype=I32)[None, :]
+        mask = (active[:, None] & (j < bsize[:, None])).reshape(-1)
+        CS = max(64, int(NI * S * min(self.scan_active_frac, 1.0)))
+        csrc, spill = compact_src(mask, CS)
+        c_ok = csrc >= 0
+        cs = jnp.maximum(csrc, 0)
+        return cs // S, cs % S, cs, c_ok, spill
+
+    def _scan_back(self, NI: int, S: int, cs, c_ok, c_hit, fields):
+        """Scatter compacted per-lane results back to (NI, S) grids (only
+        hit lanes are ever read downstream); one scalar scatter each."""
+        tgt = jnp.where(c_ok, cs, NI * S)
+        hit = jnp.zeros(NI * S, bool).at[tgt].set(
+            c_hit, mode="drop", unique_indices=True).reshape(NI, S)
+        outs = []
+        for f in fields:
+            z = jnp.zeros(NI * S, f.dtype)
+            outs.append(z.at[tgt].set(
+                jnp.where(c_hit, f, jnp.zeros((), f.dtype)), mode="drop",
+                unique_indices=True).reshape(NI, S))
+        return hit, outs
+
     def ref_scan(self, q_hi, q_lo, active) -> ScanResult:
         """Small-block ref scan for each item; `active` masks items."""
         d = self.dix
@@ -246,31 +275,30 @@ class LocalBackend:
         NI = q_hi.shape[0]
         n_ref = self._ref_limit()
         blo, bsize = self._ref_block_bounds(q_hi)
-        j = jnp.arange(S, dtype=I32)[None, :]
-        meta_row = blo[:, None] + j
+        ci, cj, cs, c_ok, spill = self._scan_lanes(NI, S, active, bsize)
+        c_blo = blo[ci]
         stride = 9 if self.stride_bug else 1
-        tidx = blo[:, None] + stride * j
-        test_lo = jnp.where(tidx < n_ref,
-                            jnp.take(d.ref_lo, tidx, axis=0, mode="clip"),
-                            U32(0))
-        x = q_lo[:, None] ^ test_lo
+        tidx = c_blo + stride * cj
+        test_lo = jnp.where(c_ok & (tidx < n_ref),
+                            jnp.take(d.ref_lo, jnp.minimum(tidx, n_ref - 1),
+                                     axis=0), U32(0))
+        x = q_lo[ci] ^ test_lo
         tz = _ctz32(x)
         k2 = tz >> 1
         sh2 = jnp.minimum(2 * k2, 31).astype(U32)
-        ok = (x != 0) & ((x >> sh2) <= 3)
-        act = active[:, None] & (j < bsize[:, None])
-        hit = act & ok
-        mr = jnp.minimum(meta_row, d.ref_meta.shape[0] - 1)
-        meta = jnp.take(d.ref_meta, mr, axis=0, mode="clip")  # (NI, S, 2)
+        c_hit = c_ok & (x != 0) & ((x >> sh2) <= 3)
+        mr = jnp.minimum(c_blo + cj, d.ref_meta.shape[0] - 1)
+        meta = jnp.take(d.ref_meta, mr, axis=0, mode="clip")  # (CS, 2)
+        hit, (pos, flag, nb_lo, diff) = self._scan_back(
+            NI, S, cs, c_ok, c_hit,
+            [meta[:, 0], (meta[:, 1] & U32(0xFF)).astype(jnp.uint8),
+             test_lo, k2])
         return ScanResult(
-            hit=hit,
-            pos=meta[..., 0],
-            flag=(meta[..., 1] & U32(0xFF)).astype(jnp.uint8),
+            hit=hit, pos=pos, flag=flag,
             info=jnp.zeros((NI, S), jnp.uint8),
             nb_hi=jnp.broadcast_to(q_hi[:, None], (NI, S)),
-            nb_lo=test_lo,
-            diff=k2,
-            overflow=jnp.sum(jnp.maximum(
+            nb_lo=nb_lo, diff=diff,
+            overflow=spill + jnp.sum(jnp.maximum(
                 jnp.where(active & (bsize < self.S), bsize, 0) - S, 0)))
 
     def snp_scan(self, q_hi, q_lo, active) -> ScanResult:
@@ -279,34 +307,35 @@ class LocalBackend:
         NI = q_hi.shape[0]
         n_snp = self._snp_limit()
         slo, ssize = self._snp_block_bounds(q_hi >> 8)
-        j = jnp.arange(S, dtype=I32)[None, :]
-        meta_row = slo[:, None] + j
+        ci, cj, cs, c_ok, spill = self._scan_lanes(NI, S, active, ssize)
+        c_slo = slo[ci]
         stride = 11 if self.stride_bug else 1
-        tidx = slo[:, None] + stride * j
-        in_dict = tidx < n_snp
-        tst = jnp.take(d.snp_test, tidx, axis=0, mode="clip")  # (NI, S, 2)
-        e_lo = jnp.where(in_dict, tst[..., 0], U32(0))
-        e_hi8 = jnp.where(in_dict, tst[..., 1], U32(0))
-        xlo = q_lo[:, None] ^ e_lo
-        xhi8 = (q_hi[:, None] & U32(0xFF)) ^ e_hi8
+        tidx = c_slo + stride * cj
+        in_dict = c_ok & (tidx < n_snp)
+        tst = jnp.take(d.snp_test, jnp.minimum(tidx, n_snp - 1),
+                       axis=0)                               # (CS, 2)
+        e_lo = jnp.where(in_dict, tst[:, 0], U32(0))
+        e_hi8 = jnp.where(in_dict, tst[:, 1], U32(0))
+        c_qhi = q_hi[ci]
+        xlo = q_lo[ci] ^ e_lo
+        xhi8 = (c_qhi & U32(0xFF)) ^ e_hi8
         tz40 = jnp.where(xlo != 0, _ctz32(xlo), 32 + _ctz32(xhi8))
         k2s = tz40 >> 1
         sh_lo = jnp.clip(2 * k2s, 0, 31).astype(U32)
         sh_hi = jnp.clip(2 * k2s - 32, 0, 31).astype(U32)
         ok_lo = (xhi8 == 0) & ((xlo >> sh_lo) <= 3)
         ok_hi = (xlo == 0) & ((xhi8 >> sh_hi) <= 3)
-        oks = jnp.where(tz40 < 32, ok_lo, ok_hi) & ((xlo | xhi8) != 0)
-        act = active[:, None] & (j < ssize[:, None])
-        hit = act & oks
-        mr = jnp.minimum(meta_row, d.snp_hi.shape[0] - 1)
-        meta = jnp.take(d.snp_meta, mr, axis=0, mode="clip")  # (NI, S, 2)
+        c_hit = c_ok & jnp.where(tz40 < 32, ok_lo, ok_hi) \
+            & ((xlo | xhi8) != 0)
+        mr = jnp.minimum(c_slo + cj, d.snp_meta.shape[0] - 1)
+        meta = jnp.take(d.snp_meta, mr, axis=0, mode="clip")  # (CS, 2)
+        hit, (pos, flag, info, nb_hi, nb_lo, diff) = self._scan_back(
+            NI, S, cs, c_ok, c_hit,
+            [meta[:, 0], (meta[:, 1] & U32(0xFF)).astype(jnp.uint8),
+             ((meta[:, 1] >> 8) & U32(0xFF)).astype(jnp.uint8),
+             (c_qhi & U32(0xFFFFFF00)) | e_hi8, e_lo, k2s])
         return ScanResult(
-            hit=hit,
-            pos=meta[..., 0],
-            flag=(meta[..., 1] & U32(0xFF)).astype(jnp.uint8),
-            info=((meta[..., 1] >> 8) & U32(0xFF)).astype(jnp.uint8),
-            nb_hi=(q_hi[:, None] & U32(0xFFFFFF00)) | e_hi8,
-            nb_lo=e_lo,
-            diff=k2s,
-            overflow=jnp.sum(jnp.maximum(
+            hit=hit, pos=pos, flag=flag, info=info,
+            nb_hi=nb_hi, nb_lo=nb_lo, diff=diff,
+            overflow=spill + jnp.sum(jnp.maximum(
                 jnp.where(active & (ssize < 0x10000), ssize, 0) - S, 0)))

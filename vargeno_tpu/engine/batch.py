@@ -150,7 +150,8 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
             return LocalBackend(dix_t, cfg.replicate_stride_bug,
                                 cfg.block_size_threshold,
                                 cfg.scan_slot_cap, cfg.sparse_frac,
-                                cfg.probe_active_frac)
+                                cfg.probe_active_frac,
+                                cfg.scan_active_frac)
 
     # probe slot geometry depends on the backend's scan capacities
     _be0 = backend_factory(dix)
@@ -334,15 +335,31 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         diff_u = p_diff.astype(U32)
         live = usable[..., None] & col_valid
-        site_pos_chk = jnp.where(live, kpos + diff_u[..., None], U32(0))
-        is_site = search.bitmap_test(dix.site_bitmap, site_pos_chk)
+        # known-SNP-site suppression (qv.cc:985-993) is only consulted for
+        # REF events, and live lanes are a small fraction of the (NH, 10)
+        # grid: compact them before the site-bitmap word gathers. Spills
+        # count into the probe-overflow stat (escalation grows NH -> CQ).
+        NH10 = live.shape[0] * 10
+        site_live = live & p_is_ref[..., None]
+        qsrc, qovf = compact_src(site_live.reshape(-1),
+                                 max(64, 2 * live.shape[0]))
+        q_ok = qsrc >= 0
+        qs = jnp.maximum(qsrc, 0)
+        q_pos = jnp.where(q_ok, jnp.take(
+            (kpos + diff_u[..., None]).reshape(-1), qs, mode="clip"),
+            U32(0))
+        is_site_c = search.bitmap_test(dix.site_bitmap, q_pos)
+        is_site = jnp.zeros(NH10, bool).at[
+            jnp.where(q_ok, qs, NH10)].set(
+                is_site_c, mode="drop", unique_indices=True).reshape(
+                    (live.shape[0], 10))
         snp_off = ((jnp.where(unamb[..., None] & col0,
                               p_info[..., None].astype(U32), aux_snp) >> 3)
                    & U32(0x1F)).astype(I32)
         check = jnp.where(p_is_ref[..., None], ~is_site,
                           snp_off != p_diff[..., None])
         ev_valid = usable[..., None] & col_valid & check
-        return kpos, ev_valid
+        return kpos, ev_valid, qovf
 
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
@@ -460,8 +477,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                         target=jnp.zeros(B, U32), read_ok=read_ok,
                         stats=stats)
 
-        nb_kpos, nb_valid = expand_probe_events(
+        nb_kpos, nb_valid, site_q_ovf = expand_probe_events(
             dix, h_isref, h_pos, h_flag, h_info, h_diff, h_ok)  # (NH, 10)
+        ph_overflow = ph_overflow + site_q_ovf
 
         # ---- event counts and group offsets ----
         nb_cnt = jnp.sum(nb_valid, axis=-1).astype(I32)      # (NH,)

@@ -54,6 +54,7 @@ def _escalate_config(cfg: GenoConfig, tripped) -> GenoConfig:
             bump("candidates_per_read")
         elif base == "snp_scan_overflow":
             bump("scan_slot_cap", cfg.block_size_threshold)
+            bump("scan_active_frac", 1.0)
             # routed mode folds its compacted-scan + scan-route truncation
             # into the same stat key; bump its caps too (inert locally)
             bump("route_scan_slots", cfg.block_size_threshold)
@@ -80,6 +81,50 @@ _merge_counts = jax.jit(lambda a, b, c, d: (a + c, b + d),
                         donate_argnums=(0, 1))
 _pack_stats = jax.jit(
     lambda vals: jnp.stack([jnp.asarray(v, jnp.int32) for v in vals]))
+
+
+def _bits32(mask):
+    """(..., B) bool -> (..., ceil(B/32)) i32 bit-pack."""
+    b = mask.shape[-1]
+    pad = (-b) % 32
+    if pad:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros(mask.shape[:-1] + (pad,), bool)], axis=-1)
+    m = mask.reshape(mask.shape[:-1] + ((b + pad) // 32, 32))
+    sh = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(
+        jnp.where(m, jnp.uint32(1) << sh, jnp.uint32(0)),
+        axis=-1, dtype=jnp.uint32).astype(jnp.int32)
+
+
+@jax.jit
+def _pack_host(svec, process, read_ok):
+    """One flat i32 vector [stats | process bits | read_ok bits]: the
+    host's per-batch sync is ONE value fetch. On a tunneled dispatch
+    link a value fetch costs a full round trip (0.1-0.5 s); fetching
+    stats, process and read_ok separately made the host loop pay three."""
+    return jnp.concatenate([
+        svec.astype(jnp.int32),
+        _bits32(process).reshape(-1),
+        _bits32(read_ok).reshape(-1)])
+
+
+def _unpack_host(vals, n_stats: int, shape):
+    """numpy inverse of _pack_host: (stats_row, process, read_ok)."""
+    stats = vals[:n_stats]
+    b = shape[-1]
+    bp = b + ((-b) % 32)
+    lead = int(np.prod(shape[:-1], dtype=np.int64)) if len(shape) > 1 else 1
+    nb = lead * (bp // 32)
+    pb = vals[n_stats:n_stats + nb].astype(np.uint32)
+    rb = vals[n_stats + nb:n_stats + 2 * nb].astype(np.uint32)
+
+    def unpack(bits):
+        sh = np.arange(32, dtype=np.uint32)
+        full = ((bits[:, None] >> sh) & 1).astype(bool)
+        return full.reshape(shape[:-1] + (bp,))[..., :b]
+
+    return stats, unpack(pb), unpack(rb)
 
 
 class GenoRunner:
@@ -174,16 +219,23 @@ class GenoRunner:
             rc, ac, stats = proc(jnp.asarray(codes), jnp.asarray(nk),
                                  jnp.asarray(qual), z, z2)
             process = read_ok = None
-        # pack the ~16 stat scalars into ONE device buffer: fetching them
-        # individually costs a device->host round trip each, which is the
-        # dominant per-batch host cost on high-latency links
+        # pack the ~16 stat scalars -- and, in single mode, the process /
+        # read_ok masks as bit vectors -- into ONE device buffer: every
+        # separate value fetch costs a device->host round trip (0.1-0.5 s
+        # on a tunneled link), so the per-batch sync must be one fetch
         keys = tuple(sorted(stats))
         svec = _pack_stats([stats[k] for k in keys])
-        return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
-                    stats_keys=keys, stats_vec=svec, cfg=self._cfg_run,
-                    redo=lambda: self._dispatch_batch(codes, nk, qual,
-                                                      single, enc=enc),
-                    rounds=0)
+        p = dict(rc=rc, ac=ac, stats_keys=keys, cfg=self._cfg_run,
+                 redo=lambda: self._dispatch_batch(codes, nk, qual,
+                                                   single, enc=enc),
+                 rounds=0)
+        if process is not None:
+            p["host_vec"] = _pack_host(svec, process, read_ok)
+            p["mask_shape"] = tuple(process.shape)
+        else:
+            p["stats_vec"] = svec
+            p["process"] = p["read_ok"] = None
+        return p
 
     def _dispatch_group(self, encs, quals) -> dict:
         """Dispatch a group of G pre-encoded sub-batches as ONE scanned
@@ -201,8 +253,9 @@ class GenoRunner:
             hi, lo, kv, rok, qual, z, z2)
         keys = tuple(sorted(stats))
         svec = _pack_stats([stats[k] for k in keys])
-        return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
-                    stats_keys=keys, stats_vec=svec, cfg=self._cfg_run,
+        return dict(rc=rc, ac=ac, stats_keys=keys, cfg=self._cfg_run,
+                    host_vec=_pack_host(svec, process, read_ok),
+                    mask_shape=tuple(process.shape),
                     redo=lambda: self._dispatch_group(encs, quals),
                     rounds=0)
 
@@ -210,15 +263,28 @@ class GenoRunner:
         """Sync p's overflow counters; if any capacity tripped, escalate and
         re-run the batch (deterministic, so the merged counts match a
         reference run exactly even when the first attempt truncated); then
-        merge its counts into the totals. Returns (process, read_ok)."""
+        merge its counts into the totals. Returns (process, read_ok) --
+        already-decoded numpy arrays when the dispatch packed them.
+
+        The sync is ONE value fetch per batch: dispatches with host-side
+        retry queueing pack [stats | process bits | read_ok bits] into a
+        single device vector (_pack_host)."""
+        process = read_ok = None
         while True:
-            vals = np.asarray(p["stats_vec"])  # one transfer for all stats
-            if vals.ndim == 2:   # mesh runners: per-device (D, S) rows
-                stats = {k: int(vals[:, i].max() if k.endswith("_max")
-                                else vals[:, i].sum())
-                         for i, k in enumerate(p["stats_keys"])}
+            if "host_vec" in p:
+                vals = np.asarray(p["host_vec"])   # the one transfer
+                srow, process, read_ok = _unpack_host(
+                    vals, len(p["stats_keys"]), p["mask_shape"])
+                stats = dict(zip(p["stats_keys"], srow.tolist()))
             else:
-                stats = dict(zip(p["stats_keys"], vals.tolist()))
+                vals = np.asarray(p["stats_vec"])
+                process, read_ok = p["process"], p["read_ok"]
+                if vals.ndim == 2:   # mesh runners: per-device (D, S) rows
+                    stats = {k: int(vals[:, i].max() if k.endswith("_max")
+                                    else vals[:, i].sum())
+                             for i, k in enumerate(p["stats_keys"])}
+                else:
+                    stats = dict(zip(p["stats_keys"], vals.tolist()))
             tripped = [k for k, v in stats.items()
                        if "overflow" in k and v]
             if not tripped or p["rounds"] >= self.config.auto_retry_max:
@@ -237,7 +303,7 @@ class GenoRunner:
         self.ref_cnt, self.alt_cnt = self._merge(
             self.ref_cnt, self.alt_cnt, p["rc"], p["ac"])
         self._bump(stats)
-        return p["process"], p["read_ok"]
+        return process, read_ok
 
     def _run_batch(self, codes, nk, qual, single: bool):
         """Dispatch + finalize in one (unpipelined) call."""

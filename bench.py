@@ -150,7 +150,7 @@ def pick_runner(index, fq):
     elif os.environ.get("VGT_BENCH_CALIBRATE", "1") == "0":
         cand = [(8, 2, True)]
     else:
-        cand = [(8, 2, True), (4, 2, True), (1, 2, True), (1, 4, True)]
+        cand = [(4, 2, True), (2, 2, True), (1, 2, True), (1, 3, True)]
     cand.append((1, 2, False))  # last-resort rung: no Pallas
 
     best = None

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import GenoConfig
 from ..engine.batch import make_batch_processor
 from ..engine.device_index import build_device_index
-from ..engine.geno import GenoRunner
+from ..engine.geno import GenoRunner, _prefetch_host
 from ..index.store import VarGenoIndex
 
 
@@ -244,10 +244,12 @@ class ShardedGenoRunner(GenoRunner):
         if single:
             (rc, ac, process, read_ok, svec), keys = proc.single_enc(
                 hi, lo, kv, rok, qual, z, z2)
+            _prefetch_host(svec, process, read_ok)
         else:
             (rc, ac, svec), keys = proc.dual_enc(hi, lo, kv, rok, nk, qual,
                                                  z, z2)
             process = read_ok = None
+            _prefetch_host(svec)
         return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
                     stats_keys=keys, stats_vec=svec, cfg=self._cfg_run,
                     redo=lambda: self._dispatch_batch(codes, nk, qual,
@@ -265,6 +267,7 @@ class ShardedGenoRunner(GenoRunner):
         qual = np.stack(quals)
         (rc, ac, process, read_ok, svec), keys = proc.multi_enc(
             hi, lo, kv, rok, qual, z, z2)
+        _prefetch_host(svec, process, read_ok)
         return dict(rc=rc, ac=ac, process=process, read_ok=read_ok,
                     stats_keys=keys, stats_vec=svec, cfg=self._cfg_run,
                     redo=lambda: self._dispatch_group(encs, quals),

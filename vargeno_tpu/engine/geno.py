@@ -83,6 +83,24 @@ _pack_stats = jax.jit(
     lambda vals: jnp.stack([jnp.asarray(v, jnp.int32) for v in vals]))
 
 
+def _prefetch_host(*arrs):
+    """Start the device->host transfer of a sync value at DISPATCH time.
+
+    _finalize_batch's np.asarray pays a full round trip on a tunneled
+    dispatch link (0.1-0.5 s) when the value is fetched cold; starting the
+    copy as soon as the batch is dispatched lets the transfer ride the
+    pipeline (depth batches are in flight) so the later fetch finds the
+    value host-resident. Best-effort: backends without copy_to_host_async
+    simply fall through to the cold fetch."""
+    for a in arrs:
+        f = getattr(a, "copy_to_host_async", None)
+        if f is not None:
+            try:
+                f()
+            except Exception:  # noqa: BLE001 - optional fast path only
+                pass
+
+
 def _bits32(mask):
     """(..., B) bool -> (..., ceil(B/32)) i32 bit-pack."""
     b = mask.shape[-1]
@@ -232,9 +250,11 @@ class GenoRunner:
         if process is not None:
             p["host_vec"] = _pack_host(svec, process, read_ok)
             p["mask_shape"] = tuple(process.shape)
+            _prefetch_host(p["host_vec"])
         else:
             p["stats_vec"] = svec
             p["process"] = p["read_ok"] = None
+            _prefetch_host(svec)
         return p
 
     def _dispatch_group(self, encs, quals) -> dict:
@@ -253,8 +273,10 @@ class GenoRunner:
             hi, lo, kv, rok, qual, z, z2)
         keys = tuple(sorted(stats))
         svec = _pack_stats([stats[k] for k in keys])
+        hv = _pack_host(svec, process, read_ok)
+        _prefetch_host(hv)
         return dict(rc=rc, ac=ac, stats_keys=keys, cfg=self._cfg_run,
-                    host_vec=_pack_host(svec, process, read_ok),
+                    host_vec=hv,
                     mask_shape=tuple(process.shape),
                     redo=lambda: self._dispatch_group(encs, quals),
                     rounds=0)

@@ -119,15 +119,34 @@ def pick_runner(index, fq):
     from vargeno_tpu.engine.device_index import build_device_index
     from vargeno_tpu.engine.geno import GenoRunner
 
-    dix = build_device_index(index)
+    dix = build_device_index(index, ht_target_load=0.24)
 
     def make(g, depth, pv):
         cfg = GenoConfig(batch_reads=BATCH, max_read_len=128,
-                         max_kmers_per_read=4, pallas_vote=pv,
+                         # 101 bp reads use floor(101/32)=3 kmers (the
+                         # reference ignores the tail, qv.cc:779); a 4th
+                         # slot is pure padding in every B*K-proportional
+                         # gather grid
+                         max_kmers_per_read=3,
+                         neighbor_item_frac=0.0834,   # keep NI at 8192
+                         probe_active_frac=0.35,      # act max ~113.8K
+                         pallas_vote=pv,
                          group_size=g, pipeline_depth=depth,
-                         # measured workload maxima (ev_max=4, lowq 4.7%):
-                         # 4x headroom, auto-retry escalates if ever hit
-                         events_per_read=16)
+                         # capacities right-sized to MEASURED per-step
+                         # maxima on this workload (engine *_lanes_max /
+                         # ev_max telemetry; 1.5-4x headroom each) --
+                         # every compacted-slot gather pays full lane
+                         # cost whether the slot is live or padding, and
+                         # auto-retry escalation restores exactness if a
+                         # cap ever trips:
+                         #   ev_max=4            -> events_per_read=16
+                         #   sparse_lanes 5069   -> NS 8192
+                         #   ref/snp scan 3137/5713 -> CS 4915/15974
+                         #   probe_lanes 4103    -> NH 8192
+                         events_per_read=16,
+                         sparse_frac=0.015625,
+                         scan_active_frac=0.15,
+                         probe_hit_cap=8)
         return GenoRunner(index, cfg, queued_orientation=True, dix=dix)
 
     dev = jax.devices()[0].device_kind

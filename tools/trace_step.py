@@ -33,15 +33,26 @@ def main():
     # VGT_EPR defaults to 16 (the bench config), NOT the GenoConfig default
     # of 96 -- traces are meant to profile the same step the bench measures;
     # set VGT_EPR=96 to trace the engine-default capacity instead
-    cfg = GenoConfig(batch_reads=B, max_read_len=128, max_kmers_per_read=4,
+    cfg = GenoConfig(batch_reads=B, max_read_len=128,
+                     max_kmers_per_read=int(os.environ.get("VGT_K", 3)),
+                     neighbor_item_frac=float(
+                         os.environ.get("VGT_NIF", 0.0834)),
+                     probe_active_frac=float(
+                         os.environ.get("VGT_PAF", 0.35)),
                      pallas_vote=True,
-                     events_per_read=int(os.environ.get("VGT_EPR", 16)))
-    dix = build_device_index(index)
+                     events_per_read=int(os.environ.get("VGT_EPR", 16)),
+                     # mirror bench.py's right-sized capacities so traces
+                     # profile the same step the bench measures
+                     sparse_frac=float(os.environ.get("VGT_SPF", 0.015625)),
+                     scan_active_frac=float(os.environ.get("VGT_SAF", 0.15)),
+                     probe_hit_cap=int(os.environ.get("VGT_PHC", 8)))
+    dix = build_device_index(index, ht_target_load=0.24)
     proc = make_batch_processor(dix, cfg)
-    b = next(iter_read_batches(os.path.join(CACHE, "reads.fq"), B, 128, 4))
+    K = cfg.max_kmers_per_read
+    b = next(iter_read_batches(os.path.join(CACHE, "reads.fq"), B, 128, K))
     from vargeno_tpu import native
 
-    hi_n, lo_n, kv_n, rok_n = native.encode_batch(b.codes, b.n_kmers, 4)
+    hi_n, lo_n, kv_n, rok_n = native.encode_batch(b.codes, b.n_kmers, K)
     hi = jnp.asarray(hi_n)
     lo = jnp.asarray(lo_n)
     kv = jnp.asarray(kv_n)

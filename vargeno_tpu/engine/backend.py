@@ -103,6 +103,15 @@ class LocalBackend:
     # second overflow counter: active-lane pre-compaction cap
     act_overflow = None
 
+    # capacity-tuning telemetry (per-step maxima, not overflow counters):
+    # real active / prefilter-passer / scan-test lane counts, so the bench
+    # can right-size the _frac caps (every compacted-slot gather pays full
+    # lane cost whether the slot is live or padding)
+    act_lanes = None
+    sparse_lanes = None
+    ref_scan_lanes = None
+    snp_scan_lanes = None
+
     def exact_both_sparse(self, q_hi, q_lo, act_ref, act_snp):
         """Prefiltered combined lookup over lanes where either dictionary
         is being probed. TWO compactions: active lanes first (typically
@@ -126,6 +135,9 @@ class LocalBackend:
 
         # --- compaction 1: active lanes (packed (qh, ql) row gather) ---
         NC = max(64, min(N, int(N * self.active_frac)))
+        act_n = jnp.sum(v, dtype=I32)
+        self.act_lanes = act_n if self.act_lanes is None \
+            else jnp.maximum(self.act_lanes, act_n)
         src_a, ovf_a = compact_src(v, NC)
         if self.act_overflow is None:
             self.act_overflow = jnp.zeros((), I32)
@@ -142,6 +154,9 @@ class LocalBackend:
 
         # --- compaction 2: prefilter passers ---
         NS = max(64, min(NC, int(N * self.sparse_frac)))
+        sp_n = jnp.sum(maybe, dtype=I32)
+        self.sparse_lanes = sp_n if self.sparse_lanes is None \
+            else jnp.maximum(self.sparse_lanes, sp_n)
         srcs, ovf = compact_src(maybe, NS)
         if self.sparse_overflow is None:
             self.sparse_overflow = jnp.zeros((), I32)
@@ -241,7 +256,7 @@ class LocalBackend:
 
     # --- block Hamming scans ---
 
-    def _scan_lanes(self, NI: int, S: int, active, bsize):
+    def _scan_lanes(self, NI: int, S: int, active, bsize, which: str):
         """Compact the (item, slot) scan grid to its REAL test lanes
         (j < block size; typical blocks are 1-2 rows against 13-24
         slots), so the dictionary-row gathers run on ~block-sum lanes
@@ -249,6 +264,11 @@ class LocalBackend:
         j = jnp.arange(S, dtype=I32)[None, :]
         mask = (active[:, None] & (j < bsize[:, None])).reshape(-1)
         CS = max(64, int(NI * S * min(self.scan_active_frac, 1.0)))
+        sc_n = jnp.sum(mask, dtype=I32)
+        attr = which + "_scan_lanes"
+        prev = getattr(self, attr)
+        setattr(self, attr,
+                sc_n if prev is None else jnp.maximum(prev, sc_n))
         csrc, spill = compact_src(mask, CS)
         c_ok = csrc >= 0
         cs = jnp.maximum(csrc, 0)
@@ -275,7 +295,8 @@ class LocalBackend:
         NI = q_hi.shape[0]
         n_ref = self._ref_limit()
         blo, bsize = self._ref_block_bounds(q_hi)
-        ci, cj, cs, c_ok, spill = self._scan_lanes(NI, S, active, bsize)
+        ci, cj, cs, c_ok, spill = self._scan_lanes(NI, S, active, bsize,
+                                                   "ref")
         c_blo = blo[ci]
         stride = 9 if self.stride_bug else 1
         tidx = c_blo + stride * cj
@@ -307,7 +328,8 @@ class LocalBackend:
         NI = q_hi.shape[0]
         n_snp = self._snp_limit()
         slo, ssize = self._snp_block_bounds(q_hi >> 8)
-        ci, cj, cs, c_ok, spill = self._scan_lanes(NI, S, active, ssize)
+        ci, cj, cs, c_ok, spill = self._scan_lanes(NI, S, active, ssize,
+                                                   "snp")
         c_slo = slo[ci]
         stride = 11 if self.stride_bug else 1
         tidx = c_slo + stride * cj

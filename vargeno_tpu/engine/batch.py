@@ -113,6 +113,20 @@ def _get_base(hi, lo, i):
     return ((word >> sh) & U32(3)).astype(jnp.uint8)
 
 
+def _lane_telemetry(be, stats: dict) -> None:
+    """Surface the backend's real compacted-lane counts as *_max stats so
+    the host (and the bench capacity report) can right-size the _frac caps;
+    every compacted-slot gather pays full lane cost whether the slot is
+    live or padding, so caps far above the real maxima are pure waste."""
+    for attr, key in (("act_lanes", "act_lanes_max"),
+                      ("sparse_lanes", "sparse_lanes_max"),
+                      ("ref_scan_lanes", "ref_scan_lanes_max"),
+                      ("snp_scan_lanes", "snp_scan_lanes_max")):
+        v = getattr(be, attr, None)
+        if v is not None:
+            stats[key] = v
+
+
 def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                          return_debug: bool = False,
                          backend_factory: Optional[Callable] = None,
@@ -442,7 +456,10 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # scatters all run on ~real-hit-count lanes. The probe fields are
         # pre-packed as (pos, nb_hi, nb_lo, meta) rows: one 16-byte row
         # gather materializes every field of the surviving hits.
-        NH = max(64, 4 * NI)
+        # probe_hit_cap scales the flat hit buffer relative to NI (default
+        # 32 -> 4*NI); tying NH to the config field makes probe_overflow
+        # escalation (which doubles probe_hit_cap) actually grow the buffer
+        NH = max(64, NI * H // 8)
         ph_flat = p_hit.reshape(-1)                  # item-major order
         ph_src, ph_overflow = compact_src(ph_flat, NH)
         h_ok = ph_src >= 0
@@ -497,7 +514,9 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         # let the bench sweep right-size E / NI / NH for the workload
         tune_stats = dict(ev_max=jnp.max(ev_total),
                           lowq_n=jnp.sum(lowq),
-                          probe_hits=jnp.sum(jnp.where(h_ok, 1, 0)))
+                          probe_hits=jnp.sum(jnp.where(h_ok, 1, 0)),
+                          probe_lanes_max=jnp.sum(
+                              jnp.where(h_ok, 1, 0)))
 
         # Event records are TWO u32 words, [idx, meta] with
         # meta = k | isnb<<5 | valid<<6 | src<<7, scattered as SEPARATE
@@ -904,6 +923,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         aovf_b = getattr(be, "act_overflow", None)
         if aovf_b is not None:
             stats["act_overflow"] = aovf_b
+        _lane_telemetry(be, stats)
         if return_debug:
             debug = dict(
                 fwd_process=fwd["process"], fwd_target=fwd["target"],
@@ -950,6 +970,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         aovf_b = getattr(be, "act_overflow", None)
         if aovf_b is not None:
             stats["act_overflow"] = aovf_b
+        _lane_telemetry(be, stats)
         return (ref_cnt, alt_cnt, res["process"], res["read_ok"], stats)
 
     def step_multi_enc(dix_t, hi, lo, kvalid, read_ok, qual, ref_cnt,

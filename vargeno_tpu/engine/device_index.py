@@ -220,13 +220,19 @@ class _DerivedCache:
 
 def build_device_index(index: VarGenoIndex,
                        skip_tables: bool = False,
-                       host_only: bool = False) -> DeviceIndex:
+                       host_only: bool = False,
+                       ht_target_load: float = 0.5) -> DeviceIndex:
     """skip_tables: omit the exact-lookup hash tables and prefilters
     (1-row dummies). Sharded-dictionary mode answers exact lookups by
     binary search over the shard arrays, so building the replicated
     tables -- 50+ B/key -- would waste host RAM at whole-genome scale.
     host_only: keep arrays as numpy (callers that re-partition them, e.g.
-    dist.sharded_dict.partition_index, avoid a device round trip)."""
+    dist.sharded_dict.partition_index, avoid a device round trip).
+    ht_target_load: combined-table bucket load factor. 0.5 (default)
+    yields probe chain 2 on most indexes (one full bucket anywhere forces
+    a second row gather for EVERY query lane); 0.20-0.25 doubles the
+    table bytes but makes chain 1, halving the exact-lookup gather -- the
+    single largest op in the device step profile."""
     ref_k = index.ref.kmers
     snp_k = index.snp.kmers
     sites = index.sites
@@ -297,7 +303,8 @@ def build_device_index(index: VarGenoIndex,
     if skip_tables:
         dummy = np.zeros((1, 32), np.uint32)
         both_tab = HostHashTable(table=dummy, nb=1, chain=1)
-    elif cache.has("both_ht", "both_nb", "both_chain"):
+    elif (cache.has("both_ht", "both_nb", "both_chain")
+          and cache.meta.get("both_load", 0.5) == ht_target_load):
         both_tab = HostHashTable(table=cache.load("both_ht"),
                                  nb=cache.meta["both_nb"],
                                  chain=cache.meta["both_chain"])
@@ -311,10 +318,12 @@ def build_device_index(index: VarGenoIndex,
             np.concatenate([ref_pos_a, snp_pos_a]),
             np.concatenate([ref_flag_a,
                             snp_flag_a | np.uint8(0x80)]),
-            np.concatenate([np.zeros_like(ref_flag_a), snp_info_a]))
+            np.concatenate([np.zeros_like(ref_flag_a), snp_info_a]),
+            target_load=ht_target_load)
         cache.save(both_ht=both_tab.table,
                    meta=dict(both_nb=both_tab.nb,
-                             both_chain=both_tab.chain))
+                             both_chain=both_tab.chain,
+                             both_load=ht_target_load))
 
     def jumpgate24(keys_hi_sorted, shift: int):
         """Prefix counts over the top 24 key bits of a SORTED u32 key

@@ -109,7 +109,7 @@ def step_traffic(cfg, dix, B: int, lowq_frac: float = 0.05) -> StepTraffic:
     chain = dix.both_ht_chain
     row_b = dix.both_ht.shape[1] * 4
     NI = max(8, int(B * K * cfg.neighbor_item_frac))
-    NH = max(64, 4 * NI)
+    NH = max(64, NI * cfg.probe_hit_cap // 8)
     E = cfg.events_per_read
     FA = max(64, B * cfg.agree_cap)
     no_big = dix.ref_scan_max < cfg.block_size_threshold

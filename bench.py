@@ -25,6 +25,10 @@ N_READS = int(os.environ.get("VGT_BENCH_READS", 262_144))
 GENOME_MB = int(os.environ.get("VGT_BENCH_MB", 48))
 N_SNPS = int(os.environ.get("VGT_BENCH_SNPS", 500_000))
 BATCH = int(os.environ.get("VGT_BENCH_BATCH", 32768))
+READ_LEN = 101  # synthesized read length (write_inputs default; the
+                # reference's READ_LEN, vartype.h:16) -- kmer slots and
+                # padded length below derive from it so a workload change
+                # cannot silently truncate kmers
 PASSES = int(os.environ.get("VGT_BENCH_PASSES", 5))
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
@@ -45,7 +49,7 @@ def build_dataset():
     genome = synth_genome(rng, sizes=(GENOME_MB * 1_000_000,),
                           names=("chrB1",))
     write_inputs(CACHE, rng, genome, n_snps=N_SNPS, n_reads=N_READS,
-                 err_frac=0.15)
+                 read_len=READ_LEN, err_frac=0.15)
     open(marker, "w").write("ok")
     return fa, vcf, fq
 
@@ -122,12 +126,14 @@ def pick_runner(index, fq):
     dix = build_device_index(index, ht_target_load=0.24)
 
     def make(g, depth, pv):
-        cfg = GenoConfig(batch_reads=BATCH, max_read_len=128,
-                         # 101 bp reads use floor(101/32)=3 kmers (the
-                         # reference ignores the tail, qv.cc:779); a 4th
-                         # slot is pure padding in every B*K-proportional
-                         # gather grid
-                         max_kmers_per_read=3,
+        cfg = GenoConfig(batch_reads=BATCH,
+                         max_read_len=max(128, -(-READ_LEN // 32) * 32),
+                         # the reference ignores the sub-32 read tail
+                         # (qv.cc:779): floor(len/32) kmer slots; extra
+                         # slots would be pure padding in every
+                         # B*K-proportional gather grid
+                         max_kmers_per_read=READ_LEN // 32,
+                         ht_target_load=0.24,
                          neighbor_item_frac=0.0834,   # keep NI at 8192
                          probe_active_frac=0.35,      # act max ~113.8K
                          pallas_vote=pv,

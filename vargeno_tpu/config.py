@@ -66,7 +66,12 @@ class GenoConfig:
     events_per_read: int = 96      # compacted hit-context capacity per read
     candidates_per_read: int = 32  # distinct candidate positions in the vote table
     neighbor_item_frac: float = 0.0625  # cap on low-qual kmers per batch, xB*K
-    probe_hit_cap: int = 32        # compacted neighbor probe hits per item
+    probe_hit_cap: int = 32        # neighbor-probe hit lanes: the compacted
+                                   # hit buffer holds NH = NI * cap // 8
+                                   # lanes (cap/8 average hits per low-qual
+                                   # item; default 32 -> 4 hits/item), NOT a
+                                   # per-item cap -- see engine.batch NH and
+                                   # utils.roofline lane accounting
     agree_cap: int = 4             # AVG agreeing contexts per read: the
                                    # pileup stage's flat batch-wide context
                                    # buffer holds batch_reads*agree_cap
@@ -132,6 +137,12 @@ class GenoConfig:
                                    # round trip / stats sync per GROUP --
                                    # the lever for high-latency (tunneled)
                                    # dispatch links; results are identical
+    ht_target_load: float = 0.5    # combined exact-lookup table bucket load
+                                   # factor (engine.device_index): 0.5 keeps
+                                   # table bytes low (chain 2 on most
+                                   # indexes); 0.20-0.25 doubles the bytes
+                                   # but makes the chain 1, halving the
+                                   # largest gather in the device step
 
     # --- distribution ---
     data_axis: str = "data"

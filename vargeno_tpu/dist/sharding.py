@@ -169,6 +169,7 @@ class ShardedGenoRunner(GenoRunner):
         if not config.pre_encode:
             # the mesh dispatch path ships packed kmer words
             config = dataclasses.replace(config, pre_encode=True)
+        self._ht_load = config.ht_target_load
         if dix is None:
             dix = self._prepare_dix(index)
         super().__init__(index, config, queued_orientation=queued_orientation,
@@ -183,7 +184,7 @@ class ShardedGenoRunner(GenoRunner):
     # --- mesh plumbing (overridden by the sharded-dictionary subclass) ---
 
     def _prepare_dix(self, index: VarGenoIndex):
-        dix = build_device_index(index)
+        dix = build_device_index(index, ht_target_load=self._ht_load)
         return jax.tree.map(
             lambda a: jax.device_put(a, self._repl_sh)
             if isinstance(a, jax.Array) else a, dix)

@@ -300,11 +300,21 @@ def build_device_index(index: VarGenoIndex,
 
     cache = _DerivedCache(index, n_ref=int(ref_hi.shape[0]),
                           n_snp=int(snp_hi.shape[0]))
+    # cache the combined table PER load factor: different entry points
+    # build at different loads (bench at 0.24, default runners at 0.5), and
+    # a single slot would rebuild + overwrite on every alternation
+    tag = ("%g" % ht_target_load).replace(".", "p")
+    ht_name = f"both_ht_{tag}"
     if skip_tables:
         dummy = np.zeros((1, 32), np.uint32)
         both_tab = HostHashTable(table=dummy, nb=1, chain=1)
+    elif cache.has(ht_name, f"both_nb_{tag}", f"both_chain_{tag}"):
+        both_tab = HostHashTable(table=cache.load(ht_name),
+                                 nb=cache.meta[f"both_nb_{tag}"],
+                                 chain=cache.meta[f"both_chain_{tag}"])
     elif (cache.has("both_ht", "both_nb", "both_chain")
           and cache.meta.get("both_load", 0.5) == ht_target_load):
+        # legacy single-slot entry from older builds
         both_tab = HostHashTable(table=cache.load("both_ht"),
                                  nb=cache.meta["both_nb"],
                                  chain=cache.meta["both_chain"])
@@ -320,10 +330,9 @@ def build_device_index(index: VarGenoIndex,
                             snp_flag_a | np.uint8(0x80)]),
             np.concatenate([np.zeros_like(ref_flag_a), snp_info_a]),
             target_load=ht_target_load)
-        cache.save(both_ht=both_tab.table,
-                   meta=dict(both_nb=both_tab.nb,
-                             both_chain=both_tab.chain,
-                             both_load=ht_target_load))
+        cache.save(**{ht_name: both_tab.table},
+                   meta={f"both_nb_{tag}": both_tab.nb,
+                         f"both_chain_{tag}": both_tab.chain})
 
     def jumpgate24(keys_hi_sorted, shift: int):
         """Prefix counts over the top 24 key bits of a SORTED u32 key

@@ -163,7 +163,9 @@ class GenoRunner:
         self.config = config
         # dix: share one device-resident index across runners (sweeps,
         # cohort mode) instead of rebuilding/re-uploading it per runner
-        self.dix = build_device_index(index) if dix is None else dix
+        self.dix = (build_device_index(
+            index, ht_target_load=config.ht_target_load)
+            if dix is None else dix)
         self._procs: dict = {}
         self._cfg_run = config   # escalated in place when capacities trip
         self.step = self._proc(config)

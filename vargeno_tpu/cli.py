@@ -93,15 +93,28 @@ def main(argv=None):
     p.add_argument("out_vcf")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint path for resumable runs")
+    p.add_argument("--limit-batches", type=int, default=None,
+                   help="stop after N host-loop batches (checkpoint "
+                        "testing / partial runs)")
     p.add_argument("--metrics", default=None,
                    help="append jsonl throughput metrics to this path")
     p.add_argument("--pallas-vote", action="store_true",
                    help="use the Pallas VMEM vote kernel (TPU)")
     p.add_argument("--mesh", type=int, default=0,
-                   help="data-parallel over N devices (0 = single device)")
+                   help="data-parallel over N devices (0 = single device; "
+                        "with --multihost, 0 = all global devices)")
     p.add_argument("--sharded-dict", action="store_true",
                    help="partition dictionaries across the mesh "
                         "(all_to_all routed probes)")
+    m = p.add_argument_group("multi-host (jax.distributed; run the same "
+                             "command on every host with its process-id)")
+    m.add_argument("--multihost", default=None, metavar="HOST:PORT",
+                   help="coordinator address -> multi-process execution")
+    m.add_argument("--num-processes", type=int, default=1)
+    m.add_argument("--process-id", type=int, default=0)
+    m.add_argument("--mh-cpu-devices", type=int, default=0,
+                   help="force a virtual CPU host with N local devices "
+                        "(local multi-process validation)")
     _add_engine_flags(p)
 
     p = sub.add_parser("cohort", help="genotype multiple samples")
@@ -188,6 +201,13 @@ def main(argv=None):
         return 0
 
     if args.cmd == "geno":
+        if args.multihost:
+            # before ANY jax backend use in this process
+            from .dist import multihost
+
+            multihost.initialize(args.multihost, args.num_processes,
+                                 args.process_id,
+                                 cpu_devices=args.mh_cpu_devices)
         cfg = _config(args, fastqs=(args.reads_fq,))
         if args.pallas_vote:
             import dataclasses as _dc
@@ -196,7 +216,15 @@ def main(argv=None):
         from .index import store
 
         index = store.load(args.prefix)
-        if args.mesh:
+        if args.multihost:
+            from .dist import multihost
+            from .dist.sharding import make_mesh
+
+            mesh = make_mesh(args.mesh or None)
+            cls = (multihost.MultiHostDictGenoRunner if args.sharded_dict
+                   else multihost.MultiHostGenoRunner)
+            runner = cls(index, mesh, cfg, metrics_path=args.metrics)
+        elif args.mesh:
             from .dist.sharded_dict import ShardedDictGenoRunner
             from .dist.sharding import ShardedGenoRunner, make_mesh
 
@@ -209,10 +237,16 @@ def main(argv=None):
 
             runner = GenoRunner(index, cfg, metrics_path=args.metrics)
         runner.consume_fastq(args.reads_fq,
-                             checkpoint_path=args.checkpoint)
+                             checkpoint_path=args.checkpoint,
+                             limit_batches=args.limit_batches)
         if args.metrics:
             runner.meter.emit()
         runner.write_vcf(args.snp_vcf, args.out_vcf)
+        if args.multihost:
+            import jax
+
+            multihost.barrier("done")
+            jax.distributed.shutdown()
         return 0
 
     if args.cmd == "cohort":

@@ -11,10 +11,13 @@ leading batch shape.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 _U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalar, NOT jnp: a module-level jnp constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize ordering
+_MASK16 = np.uint32(0xFFFF)
 
 
 def u64(hi, lo):

@@ -466,8 +466,6 @@ class ShardedDictGenoRunner(ShardedGenoRunner):
             ref_scan_max=base.ref_scan_max, snp_scan_max=base.snp_scan_max,
             n_ref_rows=stacked["ref_hi"].shape[1],
             n_snp_rows=stacked["snp_hi"].shape[1])
-        dsh, rsh = self._data_sh, self._repl_sh
-
         # local DeviceIndex template: dict arrays = shard (leading D axis),
         # replicated fields shared, hash tables dummied out (unused).
         dummy_ht = np.zeros((1, 32), np.uint32)
@@ -476,32 +474,32 @@ class ShardedDictGenoRunner(ShardedGenoRunner):
         def put_shard(name):
             # device_put COPIES; drop the host copy immediately (at 3G
             # rows the stacked dict arrays are ~50 GB)
-            out = jax.device_put(stacked.pop(name), dsh)
+            out = self._put_dstack(stacked.pop(name))
             return out
 
         shard_dix = DeviceIndex(
             ref_hi=put_shard("ref_hi"),
             ref_lo=put_shard("ref_lo"),
             ref_meta=put_shard("ref_meta"),
-            aux_all=jax.device_put(base.aux_all, rsh),
+            aux_all=self._put_repl(base.aux_all),
             n_ref_aux=st["n_ref_aux"],
             snp_hi=put_shard("snp_hi"),
             snp_lo=put_shard("snp_lo"),
             snp_meta=put_shard("snp_meta"),
             snp_test=put_shard("snp_test"),
-            ref_bf=jax.device_put(base.ref_bf, rsh),
-            snp_bf=jax.device_put(base.snp_bf, rsh),
-            site_pos=jax.device_put(base.site_pos, rsh),
-            site_ref=jax.device_put(base.site_ref, rsh),
-            site_alt=jax.device_put(base.site_alt, rsh),
-            site_bitmap=jax.device_put(base.site_bitmap, rsh),
-            site_rank=jax.device_put(base.site_rank, rsh),
-            site_dir=jax.device_put(base.site_dir, rsh),
-            site_ra=jax.device_put(base.site_ra, rsh),
-            both_ht=jax.device_put(dummy_ht, rsh),
-            ref_jg=jax.device_put(dummy_ht.reshape(-1)[:2], rsh),
-            snp_jg=jax.device_put(dummy_ht.reshape(-1)[:2], rsh),
-            both_pf=jax.device_put(dummy_ht.reshape(-1), rsh),
+            ref_bf=self._put_repl(base.ref_bf),
+            snp_bf=self._put_repl(base.snp_bf),
+            site_pos=self._put_repl(base.site_pos),
+            site_ref=self._put_repl(base.site_ref),
+            site_alt=self._put_repl(base.site_alt),
+            site_bitmap=self._put_repl(base.site_bitmap),
+            site_rank=self._put_repl(base.site_rank),
+            site_dir=self._put_repl(base.site_dir),
+            site_ra=self._put_repl(base.site_ra),
+            both_ht=self._put_repl(dummy_ht),
+            ref_jg=self._put_repl(dummy_ht.reshape(-1)[:2]),
+            snp_jg=self._put_repl(dummy_ht.reshape(-1)[:2]),
+            both_pf=self._put_repl(dummy_ht.reshape(-1)),
             snp_bf_bits=st["snp_bf_bits"], ref_bf_bits=st["ref_bf_bits"],
             both_ht_nb=1, both_ht_chain=1,
             ref_win_rows=1,
@@ -515,11 +513,11 @@ class ShardedDictGenoRunner(ShardedGenoRunner):
         )
         return ShardedIndexArg(
             dix=shard_dix,
-            plan=jax.tree.map(lambda a: jax.device_put(a, rsh), plan),
-            my_ref_owned=jax.device_put(owned["ref"][:, None], dsh),
-            my_snp_owned=jax.device_put(owned["snp"][:, None], dsh),
-            my_ref_total=jax.device_put(totals["ref"][:, None], dsh),
-            my_snp_total=jax.device_put(totals["snp"][:, None], dsh),
+            plan=jax.tree.map(self._put_repl, plan),
+            my_ref_owned=self._put_dstack(owned["ref"][:, None]),
+            my_snp_owned=self._put_dstack(owned["snp"][:, None]),
+            my_ref_total=self._put_dstack(totals["ref"][:, None]),
+            my_snp_total=self._put_dstack(totals["snp"][:, None]),
         )
 
     def _dix_specs(self):

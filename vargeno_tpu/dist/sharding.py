@@ -67,6 +67,16 @@ class _MeshProc:
         dix_specs = runner._dix_specs()
         local_view = runner._local_view
         data, none = P(axis), P()
+        # multi-host runners need the stats vector REPLICATED (every process
+        # must see identical overflow counters to take the same escalation
+        # decision); single-process meshes keep the collective-free
+        # per-device layout
+        rep = runner._stats_replicated
+        stats_spec = none if rep else data
+
+        def maybe_rep(sv):
+            # (1, S) per-device row -> (D, S) replicated via all_gather
+            return jax.lax.all_gather(sv[0], axis) if rep else sv
 
         # Stats come back as a PER-DEVICE (D, S) sharded vector, summed /
         # maxed on host in _finalize_batch: the data-parallel inner loop
@@ -92,45 +102,45 @@ class _MeshProc:
             rc, ac, process, read_ok, stats = raw_se(
                 local_view(dix_l), hi, lo, kv, rok, q, rc[0], ac[0])
             return (rc[None], ac[None], process, read_ok,
-                    svec_of(stats, self._keys_single))
+                    maybe_rep(svec_of(stats, self._keys_single)))
 
         single = jax.jit(jax.shard_map(
             local_single, mesh=mesh,
             in_specs=(dix_specs, data, data, data, data, data, data, data),
-            out_specs=(data, data, data, data, data), check_vma=False),
+            out_specs=(data, data, data, data, stats_spec),
+            check_vma=False),
             donate_argnums=(6, 7))
 
         def local_multi(dix_l, hi, lo, kv, rok, q, rc, ac):
             rc, ac, process, read_ok, stats = raw_me(
                 local_view(dix_l), hi, lo, kv, rok, q, rc[0], ac[0])
             return (rc[None], ac[None], process, read_ok,
-                    svec_of(stats, self._keys_multi))
+                    maybe_rep(svec_of(stats, self._keys_multi)))
 
         gdata = P(None, axis)   # (G, B, ...) stacks shard the read axis
         multi = jax.jit(jax.shard_map(
             local_multi, mesh=mesh,
             in_specs=(dix_specs, gdata, gdata, gdata, gdata, gdata, data,
                       data),
-            out_specs=(data, data, gdata, gdata, data), check_vma=False),
+            out_specs=(data, data, gdata, gdata, stats_spec),
+            check_vma=False),
             donate_argnums=(6, 7))
 
         def local_dual(dix_l, hi, lo, kv, rok, nk, q, rc, ac):
             rc, ac, stats = raw_dual(local_view(dix_l), hi, lo, kv, rok,
                                      nk, q, rc[0], ac[0])
-            return rc[None], ac[None], svec_of(stats, self._keys_dual)
+            return (rc[None], ac[None],
+                    maybe_rep(svec_of(stats, self._keys_dual)))
 
         dual = jax.jit(jax.shard_map(
             local_dual, mesh=mesh,
             in_specs=(dix_specs, data, data, data, data, data, data, data,
                       data),
-            out_specs=(data, data, data), check_vma=False),
+            out_specs=(data, data, stats_spec), check_vma=False),
             donate_argnums=(7, 8))
 
-        def put(a):
-            return jax.device_put(np.asarray(a), runner._data_sh)
-
-        def putg(a):
-            return jax.device_put(np.asarray(a), runner._gdata_sh)
+        put = runner._put_data
+        putg = runner._put_gdata
 
         def run_single(hi, lo, kv, rok, q, rc, ac):
             out = single(dix, put(hi), put(lo), put(kv), put(rok), put(q),
@@ -157,6 +167,10 @@ class ShardedGenoRunner(GenoRunner):
     D * batch_reads reads; device d handles reads [d*B, (d+1)*B). Inherits
     GenoRunner's pipelined/escalating/checkpointed host loop."""
 
+    _stats_replicated = False   # multi-host subclasses set True (see
+                                # _MeshProc: replicated stats make every
+                                # process take identical escalation steps)
+
     def __init__(self, index: VarGenoIndex, mesh: Mesh, config: GenoConfig,
                  queued_orientation: bool = True, metrics_path=None,
                  dix=None):
@@ -176,17 +190,32 @@ class ShardedGenoRunner(GenoRunner):
                          metrics_path=metrics_path, dix=dix)
         n = self.dix.n_sites
         self.n_sites = n
-        self.ref_cnt = jax.device_put(jnp.zeros((self.D, n + 1), jnp.int32),
-                                      self._data_sh)
-        self.alt_cnt = jax.device_put(jnp.zeros((self.D, n + 1), jnp.int32),
-                                      self._data_sh)
+        self.ref_cnt, self.alt_cnt = self._fresh_counts()
+
+    # --- device placement hooks (multi-host runners override: a process
+    # there holds only its local stripe and assembles global arrays with
+    # jax.make_array_from_process_local_data) ---
+
+    def _put_data(self, a):
+        return jax.device_put(np.asarray(a), self._data_sh)
+
+    def _put_gdata(self, a):
+        return jax.device_put(np.asarray(a), self._gdata_sh)
+
+    def _put_repl(self, a):
+        return jax.device_put(a, self._repl_sh)
+
+    def _put_dstack(self, a):
+        """(D, ...) per-device stacked host array -> device-sharded rows
+        (the multi-host mixin ships only the process-local slice)."""
+        return jax.device_put(a, self._data_sh)
 
     # --- mesh plumbing (overridden by the sharded-dictionary subclass) ---
 
     def _prepare_dix(self, index: VarGenoIndex):
         dix = build_device_index(index, ht_target_load=self._ht_load)
         return jax.tree.map(
-            lambda a: jax.device_put(a, self._repl_sh)
+            lambda a: self._put_repl(a)
             if isinstance(a, jax.Array) else a, dix)
 
     def _proc_dix(self):
@@ -219,12 +248,16 @@ class ShardedGenoRunner(GenoRunner):
             proc = self._procs[cfg] = _MeshProc(self, cfg)
         return proc
 
+    @property
+    def _local_D(self) -> int:
+        """Devices addressed by THIS process (== D single-process; the
+        multi-host mixin narrows it to the local chip count)."""
+        return self.D
+
     def _fresh_counts(self):
         n = self.dix.n_sites
-        z = jax.device_put(jnp.zeros((self.D, n + 1), jnp.int32),
-                           self._data_sh)
-        z2 = jax.device_put(jnp.zeros((self.D, n + 1), jnp.int32),
-                            self._data_sh)
+        z = self._put_data(np.zeros((self._local_D, n + 1), np.int32))
+        z2 = self._put_data(np.zeros((self._local_D, n + 1), np.int32))
         return z, z2
 
     def _dispatch_batch(self, codes, nk, qual, single: bool,

@@ -32,6 +32,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import GenoConfig, NO_MODIFICATION, POS_AMBIGUOUS
 from ..core import hashes
@@ -43,8 +44,10 @@ from .device_index import DeviceIndex
 U32 = jnp.uint32
 I32 = jnp.int32
 
-_NO_MOD = jnp.int32(NO_MODIFICATION)
-_POS_AMBIG = jnp.uint32(POS_AMBIGUOUS)
+# numpy scalars, NOT jnp (module-level jnp constants would initialize
+# the XLA backend at import, breaking jax.distributed.initialize ordering)
+_NO_MOD = np.int32(NO_MODIFICATION)
+_POS_AMBIG = np.uint32(POS_AMBIGUOUS)
 
 
 def encode_batch(codes, n_kmers, K: int):

@@ -56,6 +56,8 @@ class ReadBatch:
     n_kmers: np.ndarray    # (B,) int32 floor(read_len/32), capped at K slots
     qual: np.ndarray       # (B, Kmax) uint8 quality char at kmer index
     n_valid: int           # number of real (non-pad) reads in this batch
+    global_n_valid: int = -1  # striped readers: total reads in the GLOBAL
+                              # batch this stripe belongs to (-1 = n_valid)
 
 
 def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
@@ -114,6 +116,166 @@ def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
             f"diverge from the reference. Re-run with --max-read-len "
             f"{min((max_slen // 32) * 32, REF_MAX_READ_LEN)} or let the "
             f"CLI auto-size from the FASTQ.")
+
+
+class _FastqStream:
+    """Buffered FASTQ record stream with two primitives: ``skip(n)``
+    (drop n records at newline-count speed -- other processes' stripes)
+    and ``parse(n)`` (materialize n records as padded code/qual arrays).
+    The building block for striped multi-process readers; parsing uses
+    the native window parser when available."""
+
+    def __init__(self, path: str, max_read_len: int, max_kmers: int,
+                 chunk: int = 1 << 23):
+        self.f = open(path, "rb")
+        self.L, self.Km = max_read_len, max_kmers
+        self.chunk = chunk
+        self.buf = b""
+        self.eof = False
+        from .. import native
+
+        self._native = native if native.available() else None
+
+    def close(self):
+        self.f.close()
+
+    def _fill(self) -> bool:
+        if self.eof:
+            return False
+        data = self.f.read(self.chunk)
+        if len(data) < self.chunk:
+            self.eof = True
+        if data:
+            self.buf += data
+        if self.eof and self.buf and not self.buf.endswith(b"\n"):
+            self.buf += b"\n"   # unterminated final record
+        return bool(data)
+
+    def skip(self, n: int) -> int:
+        """Skip up to n records; returns how many were actually skipped
+        (< n only at EOF)."""
+        if n <= 0:
+            return 0
+        remaining = 4 * n
+        while remaining > 0:
+            cnt = self.buf.count(b"\n")
+            if cnt == 0:
+                if not self._fill() and self.eof:
+                    break
+                continue
+            if cnt <= remaining:
+                off = self.buf.rfind(b"\n")
+                self.buf = self.buf[off + 1:]
+                remaining -= cnt
+                if remaining > 0 and self.eof and not self.buf:
+                    break
+            else:
+                nl = np.flatnonzero(
+                    np.frombuffer(self.buf, np.uint8) == 10)
+                off = int(nl[remaining - 1])
+                self.buf = self.buf[off + 1:]
+                remaining = 0
+        return (4 * n - remaining) // 4
+
+    def _parse_native(self, n: int):
+        import ctypes
+
+        lib = self._native._load()
+        L, Km = self.L, self.Km
+        codes = np.empty((n, L), np.uint8)
+        nk = np.empty(n, np.int32)
+        qual = np.empty((n, Km), np.uint8)
+        data = self.buf
+        cursor = ctypes.c_int64(0)
+        mx = ctypes.c_int64(0)
+        got = lib.vgt_fastq_batch(
+            ctypes.c_char_p(data), len(data), ctypes.byref(cursor), n, L,
+            Km, codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            nk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(mx))
+        self.buf = data[cursor.value:]
+        return codes, nk, qual, int(got)
+
+    def _parse_py(self, n: int):
+        L, Km = self.L, self.Km
+        nl = np.flatnonzero(np.frombuffer(self.buf, np.uint8) == 10)
+        nrec = min(n, nl.shape[0] // 4)
+        codes = np.full((n, L), 4, np.uint8)
+        nk = np.zeros(n, np.int32)
+        qual = np.zeros((n, Km), np.uint8)
+        mv = self.buf
+        for r in range(nrec):
+            # record r spans lines 4r..4r+3: header, seq, sep, qual
+            seq = mv[int(nl[4 * r]) + 1: int(nl[4 * r + 1])]
+            q = mv[nl[4 * r + 2] + 1: nl[4 * r + 3]]
+            ln = min(len(seq), L)
+            codes[r, :ln] = np_codes_from_bytes(seq[:ln])
+            nk[r] = min(ln // 32, Km)
+            nq = min(len(q), Km)
+            qual[r, :nq] = np.frombuffer(q[:nq], np.uint8)
+        if nrec:
+            self.buf = self.buf[int(nl[4 * nrec - 1]) + 1:]
+        return codes, nk, qual, nrec
+
+    def parse(self, n: int):
+        """Parse up to n records into (codes(n,L), n_kmers(n,), qual(n,Km),
+        got) -- rows beyond ``got`` are pads."""
+        L, Km = self.L, self.Km
+        codes = np.full((n, L), 4, np.uint8)
+        nk = np.zeros(n, np.int32)
+        qual = np.zeros((n, Km), np.uint8)
+        got = 0
+        while got < n:
+            if self.buf.count(b"\n") < 4:
+                if not self._fill() and self.eof:
+                    break
+                continue
+            if self._native is not None:
+                c, k, q, g = self._parse_native(n - got)
+            else:
+                c, k, q, g = self._parse_py(n - got)
+            if g == 0:
+                if not self._fill() and self.eof:
+                    break
+                continue
+            codes[got:got + g] = c[:g]
+            nk[got:got + g] = k[:g]
+            qual[got:got + g] = q[:g]
+            got += g
+        return codes, nk, qual, got
+
+
+def iter_read_batches_strided(path: str, local_batch: int, n_stripes: int,
+                              stripe: int, max_read_len: int,
+                              max_kmers: int,
+                              skip_reads: int = 0) -> Iterator[ReadBatch]:
+    """Stripe-partitioned batches for multi-process (multi-host) readers.
+
+    Global batch g holds file reads [g*GB, (g+1)*GB) where GB =
+    local_batch * n_stripes; this process PARSES only its stripe's rows
+    [stripe*LB, (stripe+1)*LB) of each global batch and skips everyone
+    else's at newline-count speed. Every stripe yields the SAME number of
+    batches (tail batches pad with invalid reads), and each batch carries
+    ``global_n_valid`` = total real reads in its global batch -- so N
+    per-process host loops stay collectively aligned with zero
+    communication. ``skip_reads`` skips whole GLOBAL reads first
+    (checkpoint resume)."""
+    LB = local_batch
+    st = _FastqStream(path, max_read_len, max_kmers)
+    try:
+        if skip_reads:
+            st.skip(skip_reads)
+        while True:
+            pre = st.skip(stripe * LB)
+            codes, nk, qual, got = st.parse(LB)
+            post = st.skip((n_stripes - 1 - stripe) * LB)
+            gval = pre + got + post
+            if gval == 0:
+                break
+            yield ReadBatch(codes, nk, qual, got, global_n_valid=gval)
+    finally:
+        st.close()
 
 
 def prefetch(it, depth: int = 2):

@@ -188,6 +188,12 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
 
+    # persistent XLA compilation cache: the batch step compiles in minutes
+    # on TPU backends; later processes at the same shapes load in seconds
+    from .utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
+
     if args.cmd == "help":
         # reference: `vargeno help` prints usage (src/qv.cc:1853-1873)
         ap.print_help()

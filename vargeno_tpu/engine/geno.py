@@ -175,6 +175,8 @@ class GenoRunner:
         self.alt_cnt = jnp.zeros(n + 1, jnp.int32)
         self.stats_totals: dict = {}
         self.n_reads = 0
+        self.n_retry_reads = 0   # reads re-dispatched reverse-complemented
+                                 # (measured retry_frac for the roofline)
         from ..utils.profiling import Meter
 
         self.meter = Meter(metrics_path)
@@ -503,19 +505,29 @@ class GenoRunner:
             if not retry.any():
                 return
             sel = np.flatnonzero(retry)
-            c = codes[sel]
-            k = nk[sel]
-            length = k * 32
-            L = c.shape[1]
-            # reverse-complement the first length bases (qv.cc:787-806)
-            idx = length[:, None] - 1 - np.arange(L)[None, :]
-            valid = idx >= 0
-            g = np.take_along_axis(c, np.clip(idx, 0, L - 1), axis=1)
-            rc = np.where(g < 4, 3 - g, g)
-            rc = np.where(valid, rc, 4).astype(np.uint8)
+            self.n_retry_reads += sel.size
+            from .. import native
+
+            if native.available():
+                # one C pass: gather + reverse-complement + pad
+                # (qv.cc:787-806; the numpy chain below costs ~20 ms/batch
+                # on the dispatch loop's critical path)
+                rc, k, q = native.revcomp_select(codes, nk, qual, sel)
+            else:
+                c = codes[sel]
+                k = nk[sel]
+                length = k * 32
+                L = c.shape[1]
+                # reverse-complement the first length bases (qv.cc:787-806)
+                idx = length[:, None] - 1 - np.arange(L)[None, :]
+                valid = idx >= 0
+                g = np.take_along_axis(c, np.clip(idx, 0, L - 1), axis=1)
+                rc = np.where(g < 4, 3 - g, g)
+                rc = np.where(valid, rc, 4).astype(np.uint8)
+                q = qual[sel]
             pend_codes.append(rc)
             pend_nk.append(k)
-            pend_qual.append(qual[sel])
+            pend_qual.append(q)
             pend_n += sel.size
 
         def flush_pending(force=False):

@@ -91,6 +91,16 @@ def _load():
         lib.vgt_radix_sort_kv_u64u32.argtypes = [
             ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
+        lib.vgt_revcomp_select.restype = None
+        lib.vgt_revcomp_select.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8)]
         lib.vgt_ht_build.restype = ctypes.c_int64
         lib.vgt_ht_build.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
@@ -308,3 +318,33 @@ def rolling_kmers(codes: np.ndarray):
             kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return kmers, valid.astype(bool)
+
+
+def revcomp_select(codes: np.ndarray, n_kmers: np.ndarray,
+                   qual: np.ndarray, sel: np.ndarray):
+    """Gather rows ``sel`` and reverse-complement their in-use bases
+    (reference retry semantics, src/qv.cc:787-806; quality NOT reversed).
+    Returns (codes(n_sel,L), n_kmers(n_sel,), qual(n_sel,K))."""
+    lib = _load()
+    assert lib is not None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n_kmers = np.ascontiguousarray(n_kmers, np.int32)
+    qual = np.ascontiguousarray(qual, np.uint8)
+    sel = np.ascontiguousarray(sel, np.int32)
+    n_sel = sel.shape[0]
+    L = codes.shape[1]
+    K = qual.shape[1]
+    oc = np.empty((n_sel, L), np.uint8)
+    onk = np.empty(n_sel, np.int32)
+    oq = np.empty((n_sel, K), np.uint8)
+    if n_sel:
+        lib.vgt_revcomp_select(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n_kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            L, K,
+            sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_sel,
+            oc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            onk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            oq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return oc, onk, oq

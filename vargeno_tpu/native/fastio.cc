@@ -144,6 +144,32 @@ void vgt_encode_batch(const uint8_t* codes, const int32_t* n_kmers,
   }
 }
 
+// Reverse-complement retry compaction: gather the selected reads, reverse-
+// complement their in-use bases (reference semantics src/qv.cc:787-806:
+// length = n_kmers*32; the quality string is NOT reversed), pad the tail
+// with 4. Replaces a chain of numpy mask/gather/where ops that cost
+// ~20 ms/batch on the host dispatch loop's critical path.
+void vgt_revcomp_select(const uint8_t* codes, const int32_t* n_kmers,
+                        const uint8_t* qual, int64_t L, int64_t K,
+                        const int32_t* sel, int64_t n_sel,
+                        uint8_t* out_codes, int32_t* out_nk,
+                        uint8_t* out_qual) {
+  for (int64_t s = 0; s < n_sel; ++s) {
+    int64_t b = sel[s];
+    const uint8_t* row = codes + b * L;
+    uint8_t* orow = out_codes + s * L;
+    int64_t len = (int64_t)n_kmers[b] * 32;
+    if (len > L) len = L;
+    for (int64_t i = 0; i < len; ++i) {
+      uint8_t c = row[len - 1 - i];
+      orow[i] = c < 4 ? (uint8_t)(3 - c) : c;
+    }
+    if (len < L) std::memset(orow + len, 4, L - len);
+    out_nk[s] = n_kmers[b];
+    std::memcpy(out_qual + s * K, qual + b * K, K);
+  }
+}
+
 // Rolling 32-mer extraction for index build: writes one uint64 per window
 // and a validity byte (window free of non-ACGT). codes: n uint8.
 // Returns number of windows (n-31) or 0.

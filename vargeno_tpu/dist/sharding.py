@@ -170,6 +170,9 @@ class ShardedGenoRunner(GenoRunner):
     _stats_replicated = False   # multi-host subclasses set True (see
                                 # _MeshProc: replicated stats make every
                                 # process take identical escalation steps)
+    _chain = False              # mesh runners keep per-batch fresh count
+                                # buffers + late merge (the _MeshProc jits
+                                # donate their accumulators)
 
     def __init__(self, index: VarGenoIndex, mesh: Mesh, config: GenoConfig,
                  queued_orientation: bool = True, metrics_path=None,

@@ -997,10 +997,15 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                  for k, v in stats.items()}
         return rc, ac, proc, rok_o, stats
 
-    jitted = jax.jit(step, donate_argnums=(4, 5))
-    jitted_single = jax.jit(step_single, donate_argnums=(4, 5))
-    jitted_single_enc = jax.jit(step_single_enc, donate_argnums=(6, 7))
-    jitted_multi_enc = jax.jit(step_multi_enc, donate_argnums=(6, 7))
+    # accumulators are NOT donated: GenoRunner chains its running totals
+    # straight through the step (zero per-batch zeros/merge dispatches --
+    # each extra tunneled dispatch costs ~5 ms), and the rare overflow
+    # escalation REWINDS to a batch's input totals, which donation would
+    # have destroyed (see GenoRunner._finalize_batch)
+    jitted = jax.jit(step)
+    jitted_single = jax.jit(step_single)
+    jitted_single_enc = jax.jit(step_single_enc)
+    jitted_multi_enc = jax.jit(step_multi_enc)
 
     def run(codes, n_kmers, qual, ref_cnt, alt_cnt):
         return jitted(host_dix, codes, n_kmers, qual, ref_cnt, alt_cnt)

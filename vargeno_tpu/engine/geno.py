@@ -155,6 +155,17 @@ class GenoRunner:
     are bit-identical either way (counts are order-independent).
     """
 
+    # Chained accumulation: the running count totals are passed straight
+    # through each step as its accumulator inputs (outputs become the new
+    # totals), so a batch costs ONE device dispatch -- no per-batch zeros
+    # or merge calls (~3 extra tunneled dispatches, ~17 ms/batch measured).
+    # Overflow escalation REWINDS to the tripping batch's input totals and
+    # immediately re-dispatches the tripping handle plus every LATER
+    # in-flight handle in dispatch order (their outputs chained onto the
+    # invalidated totals), so the rebuilt chain contains every batch
+    # exactly once. Mesh runners keep fresh-buffers + late merge.
+    _chain = True
+
     def __init__(self, index: store.VarGenoIndex,
                  config: GenoConfig = DEFAULT_CONFIG,
                  queued_orientation: bool = True,
@@ -177,6 +188,7 @@ class GenoRunner:
         self.n_reads = 0
         self.n_retry_reads = 0   # reads re-dispatched reverse-complemented
                                  # (measured retry_frac for the roofline)
+        self._inflight_chain: list = []   # chained handles, dispatch order
         from ..utils.profiling import Meter
 
         self.meter = Meter(metrics_path)
@@ -227,7 +239,10 @@ class GenoRunner:
         the packed words are shipped instead of the base codes."""
         proc = self._proc(self._cfg_run)
         self.step = proc
-        z, z2 = self._fresh_counts()
+        if self._chain:
+            z, z2 = self.ref_cnt, self.alt_cnt   # chained running totals
+        else:
+            z, z2 = self._fresh_counts()
         if enc is not None:
             assert single
             hi, lo, kv, rok = (jnp.asarray(a) for a in enc)
@@ -251,6 +266,10 @@ class GenoRunner:
                  redo=lambda: self._dispatch_batch(codes, nk, qual,
                                                    single, enc=enc),
                  rounds=0)
+        if self._chain:
+            p["totals_in"] = (z, z2)       # rewind point for escalation
+            self.ref_cnt, self.alt_cnt = rc, ac
+            self._inflight_chain.append(p)
         if process is not None:
             p["host_vec"] = _pack_host(svec, process, read_ok)
             p["mask_shape"] = tuple(process.shape)
@@ -272,18 +291,26 @@ class GenoRunner:
         kv = jnp.asarray(np.stack([e[2] for e in encs]))
         rok = jnp.asarray(np.stack([e[3] for e in encs]))
         qual = jnp.asarray(np.stack(quals))
-        z, z2 = self._fresh_counts()
+        if self._chain:
+            z, z2 = self.ref_cnt, self.alt_cnt
+        else:
+            z, z2 = self._fresh_counts()
         rc, ac, process, read_ok, stats = proc.multi_enc(
             hi, lo, kv, rok, qual, z, z2)
         keys = tuple(sorted(stats))
         svec = _pack_stats([stats[k] for k in keys])
         hv = _pack_host(svec, process, read_ok)
         _prefetch_host(hv)
-        return dict(rc=rc, ac=ac, stats_keys=keys, cfg=self._cfg_run,
-                    host_vec=hv,
-                    mask_shape=tuple(process.shape),
-                    redo=lambda: self._dispatch_group(encs, quals),
-                    rounds=0)
+        p = dict(rc=rc, ac=ac, stats_keys=keys, cfg=self._cfg_run,
+                 host_vec=hv,
+                 mask_shape=tuple(process.shape),
+                 redo=lambda: self._dispatch_group(encs, quals),
+                 rounds=0)
+        if self._chain:
+            p["totals_in"] = (z, z2)
+            self.ref_cnt, self.alt_cnt = rc, ac
+            self._inflight_chain.append(p)
+        return p
 
     def _finalize_batch(self, p: dict):
         """Sync p's overflow counters; if any capacity tripped, escalate and
@@ -324,12 +351,41 @@ class GenoRunner:
             # though escalation itself has no further step to take.
             self._cfg_run = new_cfg
             rounds = p["rounds"] + 1
-            p = p["redo"]()
+            if self._chain:
+                self._chain_rewind(p)
+            else:
+                q = p["redo"]()
+                p.update(q)
             p["rounds"] = rounds
-        self.ref_cnt, self.alt_cnt = self._merge(
-            self.ref_cnt, self.alt_cnt, p["rc"], p["ac"])
+        if self._chain:
+            try:
+                self._inflight_chain.remove(p)
+            except ValueError:
+                pass
+        else:
+            self.ref_cnt, self.alt_cnt = self._merge(
+                self.ref_cnt, self.alt_cnt, p["rc"], p["ac"])
         self._bump(stats)
         return process, read_ok
+
+    def _chain_rewind(self, p: dict) -> None:
+        """Escalation rewind for chained accumulation: restore the totals
+        to before handle ``p``'s (truncated) contribution, then re-dispatch
+        p and every LATER in-flight handle in dispatch order, updating each
+        handle dict IN PLACE so callers' references (pipeline deques) see
+        the redone dispatches. The rebuilt chain contains every batch
+        exactly once."""
+        idx = self._inflight_chain.index(p)
+        later = self._inflight_chain[idx + 1:]
+        self.ref_cnt, self.alt_cnt = p["totals_in"]
+        del self._inflight_chain[idx:]
+        for q in [p] + later:
+            rounds = q["rounds"]
+            q2 = q["redo"]()   # re-appends itself to _inflight_chain
+            # keep the caller's dict identity: move q2's contents into q
+            q.update(q2)
+            q["rounds"] = rounds
+            self._inflight_chain[-1] = q
 
     def _run_batch(self, codes, nk, qual, single: bool):
         """Dispatch + finalize in one (unpipelined) call."""

@@ -17,7 +17,10 @@ import sys
 
 
 def _add_engine_flags(p):
-    p.add_argument("--batch-reads", type=int, default=4096)
+    p.add_argument("--batch-reads", type=int, default=32768,
+                   help="reads per device batch (fixed per-batch dispatch "
+                        "overheads amortize with size; short inputs just "
+                        "run one padded batch)")
     p.add_argument("--max-read-len", type=int, default=None,
                    help="padded read length (default: auto-sized from a "
                         "FASTQ peek, 128..992, so long-read inputs are "
@@ -35,6 +38,10 @@ def _add_engine_flags(p):
     g.add_argument("--scan-slot-cap", type=int, default=None)
     g.add_argument("--auto-retry-max", type=int, default=None,
                    help="max per-batch cap-doubling rounds (0 disables)")
+    g.add_argument("--no-auto-tune", action="store_true",
+                   help="disable runtime capacity auto-tuning (by default "
+                        "lane capacities shrink to measured maxima after a "
+                        "few batches and the step recompiles once)")
     h = p.add_argument_group("host dispatch pipeline")
     h.add_argument("--group-size", type=int, default=None,
                    help="sub-batches scanned per device dispatch "
@@ -53,12 +60,15 @@ def _config(args, fastqs=()):
     if hasattr(args, "batch_reads"):
         L = args.max_read_len
         if L is None:
-            L = 128
+            L, K = 128, 4
             if fastqs:   # auto-size so long reads are never truncated
-                from .io.fastq import autosize_read_len
+                from .io.fastq import autosize_shapes
 
-                L = max(autosize_read_len(fq) for fq in fastqs)
-        K = max(1, L // 32)
+                shapes = [autosize_shapes(fq) for fq in fastqs]
+                L = max(s[0] for s in shapes)
+                K = max(s[1] for s in shapes)
+        else:
+            K = max(1, L // 32)
         kw = dict(batch_reads=args.batch_reads,
                   max_read_len=L,
                   max_kmers_per_read=K,
@@ -72,6 +82,7 @@ def _config(args, fastqs=()):
                 kw[f] = v
         if getattr(args, "no_pre_encode", False):
             kw["pre_encode"] = False
+        kw["auto_tune"] = not getattr(args, "no_auto_tune", False)
     return GenoConfig(**kw)
 
 

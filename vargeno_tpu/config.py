@@ -107,6 +107,15 @@ class GenoConfig:
                                    # gathers are lane-rate-bound, so the
                                    # prefilter runs on compacted lanes);
                                    # overflow counted + auto-escalated
+    auto_tune: bool = False        # shrink lane capacities to measured
+                                   # per-batch maxima x tune_headroom after
+                                   # tune_batches batches and recompile
+                                   # once (engine.autotune; the CLI enables
+                                   # this by default). Results can never
+                                   # change: overflow escalation re-runs
+                                   # any batch whose tuned cap trips
+    tune_batches: int = 4          # batches observed before tuning
+    tune_headroom: float = 2.0     # capacity = measured max x this
     auto_retry_max: int = 3        # overflow escalation rounds per batch:
                                    # a batch that trips any capacity counter
                                    # is re-run with the tripped caps doubled
@@ -137,12 +146,15 @@ class GenoConfig:
                                    # round trip / stats sync per GROUP --
                                    # the lever for high-latency (tunneled)
                                    # dispatch links; results are identical
-    ht_target_load: float = 0.5    # combined exact-lookup table bucket load
-                                   # factor (engine.device_index): 0.5 keeps
-                                   # table bytes low (chain 2 on most
-                                   # indexes); 0.20-0.25 doubles the bytes
-                                   # but makes the chain 1, halving the
-                                   # largest gather in the device step
+    ht_target_load: float = 0.24   # combined exact-lookup table bucket load
+                                   # factor (engine.device_index): 0.24
+                                   # makes the probe chain 1 on most
+                                   # indexes (the exact lookup is the
+                                   # step's largest gather; one full
+                                   # bucket anywhere forces a second row
+                                   # gather for EVERY query lane); 0.5
+                                   # halves the table bytes at chain 2 --
+                                   # use it when HBM is the constraint
 
     # --- distribution ---
     data_axis: str = "data"

@@ -189,6 +189,9 @@ class GenoRunner:
         self.n_retry_reads = 0   # reads re-dispatched reverse-complemented
                                  # (measured retry_frac for the roofline)
         self._inflight_chain: list = []   # chained handles, dispatch order
+        self._tune_max: dict = {}   # per-batch telemetry maxima
+        self._tune_seen = 0
+        self._tuned = not config.auto_tune
         from ..utils.profiling import Meter
 
         self.meter = Meter(metrics_path)
@@ -336,6 +339,10 @@ class GenoRunner:
                     stats = {k: int(vals[:, i].max() if k.endswith("_max")
                                     else vals[:, i].sum())
                              for i, k in enumerate(p["stats_keys"])}
+                    # capacities are per-device shapes: tune on the max
+                    # single-device value, not the cross-device sum
+                    p["tune_vals"] = {k: int(vals[:, i].max())
+                                      for i, k in enumerate(p["stats_keys"])}
                 else:
                     stats = dict(zip(p["stats_keys"], vals.tolist()))
             tripped = [k for k, v in stats.items()
@@ -366,7 +373,34 @@ class GenoRunner:
             self.ref_cnt, self.alt_cnt = self._merge(
                 self.ref_cnt, self.alt_cnt, p["rc"], p["ac"])
         self._bump(stats)
+        if not self._tuned:
+            if "tune_vals" in p:   # mesh runners: per-device maxima
+                self._maybe_tune(p["tune_vals"])
+            else:
+                self._maybe_tune(stats)
         return process, read_ok
+
+    def _maybe_tune(self, stats: dict) -> None:
+        """Accumulate per-batch telemetry maxima; once ``tune_batches``
+        batches are seen, shrink lane capacities to measured maxima x
+        headroom and recompile once (engine.autotune). Overflow escalation
+        keeps results exact if a tuned cap later trips."""
+        from .autotune import TUNE_KEYS, tuned_config
+
+        for k, v in stats.items():
+            base = k.split("_", 1)[1] if k.startswith(("fwd_", "rev_")) \
+                else k
+            if base in TUNE_KEYS:
+                self._tune_max[base] = max(self._tune_max.get(base, 0),
+                                           int(v))
+        self._tune_seen += 1
+        if self._tune_seen < self.config.tune_batches:
+            return
+        self._tuned = True
+        new = tuned_config(self._cfg_run, self.dix, self._tune_max,
+                           self.config.tune_headroom)
+        if new != self._cfg_run:
+            self._cfg_run = new
 
     def _chain_rewind(self, p: dict) -> None:
         """Escalation rewind for chained accumulation: restore the totals

@@ -50,6 +50,18 @@ def autosize_read_len(path: str, n_reads: int = 8192) -> int:
     return max(128, min((mx // 32) * 32, REF_MAX_READ_LEN))
 
 
+def autosize_shapes(path: str, n_reads: int = 8192):
+    """(max_read_len, max_kmers) for a FASTQ. The kmer-slot count follows
+    the OBSERVED longest read, not the padded length: 101 bp reads use
+    floor(101/32)=3 slots (the reference ignores the sub-32 tail,
+    src/qv.cc:779), and a 4th slot would inflate every B*K-proportional
+    gather grid by a third for nothing."""
+    mx = peek_max_read_len(path, n_reads)
+    L = max(128, min((mx // 32) * 32, REF_MAX_READ_LEN))
+    K = max(1, min(L // 32, mx // 32))
+    return L, K
+
+
 @dataclasses.dataclass
 class ReadBatch:
     codes: np.ndarray      # (B, L) uint8 base codes; pad/N = 4, invalid = 7

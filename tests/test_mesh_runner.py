@@ -127,12 +127,12 @@ def test_sharded_dict_checkpoint(mini_index, tmp_path):
     assert open(out).read() == open(GOLDEN).read()
 
 
-@pytest.mark.parametrize("n_samples", [3])
+@pytest.mark.parametrize("n_samples", [3, 8])
 def test_cohort_on_mesh_matches_single_runs(mini_index, tmp_path,
                                             n_samples):
     """Cohort x mesh: per-sample VCFs from the mesh cohort are byte-identical
-    to independent single-device runs (BASELINE 8-donor config, scaled to
-    the fixture)."""
+    to independent single-device runs. n_samples=8 is the BASELINE 8-donor
+    cohort configuration as written (on the fixture workload)."""
     from vargeno_tpu.engine.cohort import CohortRunner
     from vargeno_tpu.engine.geno import GenoRunner
 

@@ -149,11 +149,133 @@ def gen_inputs(cache, mb, n_snps, n_reads, read_len=101, seed=20260819):
     return fa, vcf, fq
 
 
+def _read_genome_codes(fa):
+    """FASTA -> uint8 codes (single-sequence file written by gen_inputs)."""
+    raw = np.fromfile(fa, np.uint8)
+    start = int(np.flatnonzero(raw == ord("\n"))[0]) + 1
+    body = raw[start:]
+    body = body[body != ord("\n")]
+    codes = np.full(body.shape[0], 4, np.uint8)
+    for i, b in enumerate(b"ACGT"):
+        codes[body == b] = i
+    return codes
+
+
+def gen_extra_reads(cache, fa, vcf, n_reads, read_len=101, seed=77):
+    """More reads from the EXISTING genome + VCF (a fresh genotype
+    assignment) without touching the cached index: the exactness check is
+    oracle parity on the same reads, not a predetermined truth set."""
+    fq = os.path.join(cache, f"reads_{n_reads}.fq")
+    if os.path.exists(fq):
+        return fq
+    rng = np.random.default_rng(seed)
+    log(f"extra reads: loading genome codes from {fa}")
+    codes = _read_genome_codes(fa)
+    n = codes.shape[0]
+    log("extra reads: parsing VCF positions")
+    pos_l, alt_l = [], []
+    lut = {b"A"[0]: 0, b"C"[0]: 1, b"G"[0]: 2, b"T"[0]: 3}
+    with open(vcf, "rb") as f:
+        for line in f:
+            if line.startswith(b"#"):
+                continue
+            parts = line.split(b"\t", 5)
+            pos_l.append(int(parts[1]) - 1)
+            alt_l.append(lut[parts[4][0]])
+    pos = np.asarray(pos_l, np.int64)
+    alt_codes = np.asarray(alt_l, np.uint8)
+    gt = rng.choice([0, 1, 2], pos.shape[0], p=[0.5, 0.3, 0.2])
+    hap1 = codes.copy()
+    sel = gt >= 1
+    hap1[pos[sel]] = alt_codes[sel]
+    hap0 = codes.copy()
+    sel2 = gt == 2
+    hap0[pos[sel2]] = alt_codes[sel2]
+    comp = np.array([3, 2, 1, 0], np.uint8)
+    log(f"extra reads: writing {n_reads}")
+    with open(fq, "wb") as f:
+        CH = 8192
+        for i in range(0, n_reads, CH):
+            m = min(CH, n_reads - i)
+            starts = rng.integers(0, n - read_len, m)
+            hap = rng.integers(0, 2, m)
+            win = starts[:, None] + np.arange(read_len)[None, :]
+            r = np.where(hap[:, None] == 0, hap0[win], hap1[win])
+            err = rng.random(m) < 0.15
+            kidx = rng.integers(0, read_len // 32, m)
+            epos = kidx * 32 + rng.integers(0, 32, m)
+            es = np.flatnonzero(err)
+            r[es, epos[es]] = (r[es, epos[es]]
+                               + rng.integers(1, 4, es.size).astype(
+                                   np.uint8)) % 4
+            rc = rng.random(m) < 0.5
+            r = np.where(rc[:, None], comp[r[:, ::-1]], r)
+            qual = np.full((m, read_len), ord("I"), np.uint8)
+            qual[es, kidx[es]] = ord("0")
+            seqs = BASES[r]
+            for j in range(m):
+                f.write(b"@x%d\n" % (i + j))
+                f.write(seqs[j].tobytes() + b"\n+\n")
+                f.write(qual[j].tobytes() + b"\n")
+    del hap0, hap1, codes
+    log("extra reads ready")
+    return fq
+
+
+def spot_parity(index, runner, fq, n_spot, seed=11):
+    """Oracle spot-parity at full WGS scale: sample n_spot reads, stream
+    them through the SAME sharded-dict mesh runner (fresh accumulators),
+    run the sequential oracle spec on the identical reads, and compare
+    per-site saturated counts exactly."""
+    import numpy as np
+
+    cache_dir = os.path.dirname(fq)
+    spot = os.path.join(cache_dir, f"spot_{n_spot}.fq")
+    rng = np.random.default_rng(seed)
+    lines = open(fq, "rb").read().splitlines(keepends=True)
+    recs = [lines[i:i + 4] for i in range(0, len(lines) - 3, 4)]
+    sel = rng.choice(len(recs), size=min(n_spot, len(recs)), replace=False)
+    with open(spot, "wb") as f:
+        for i in sorted(sel):
+            f.writelines(recs[i])
+    log(f"spot parity: {len(sel)} reads -> engine (mesh)")
+    runner.ref_cnt, runner.alt_cnt = runner._fresh_counts()
+    runner.stats_totals = {}
+    runner.consume_fastq(spot)
+    rc_e, ac_e = runner._host_counts()
+    mc = runner.config.max_cov
+    s = index.sites
+    n = s.pos.shape[0]
+    rc_e = np.minimum(rc_e[:n], mc)
+    ac_e = np.minimum(ac_e[:n], mc)
+    log("spot parity: oracle (fork-parallel)")
+    from vargeno_tpu.oracle import OracleEngine
+
+    eng = OracleEngine(index)
+    eng.run_fastq_parallel(spot)
+    rc_o = np.array([eng.pileup[int(p)][4] for p in s.pos], np.int64)
+    ac_o = np.array([eng.pileup[int(p)][5] for p in s.pos], np.int64)
+    bad = np.flatnonzero((rc_e != rc_o) | (ac_e != ac_o))
+    if bad.size:
+        log(f"SPOT PARITY FAIL: {bad.size} sites differ; first "
+            f"{[(int(s.pos[i]), int(rc_e[i]), int(rc_o[i]), int(ac_e[i]), int(ac_o[i])) for i in bad[:5]]}")
+        raise SystemExit(1)
+    log(f"SPOT PARITY PASS: {len(sel)} reads, "
+        f"{int(np.sum(rc_o) + np.sum(ac_o))} site-count increments, "
+        f"0 mismatches over {n} sites")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=3000)
     ap.add_argument("--snps", type=int, default=5_000_000)
     ap.add_argument("--reads", type=int, default=65_536)
+    ap.add_argument("--extra-reads", type=int, default=0,
+                    help="generate + stream an additional reads_{N}.fq "
+                         "from the existing genome/VCF (index untouched)")
+    ap.add_argument("--spot-parity", type=int, default=0,
+                    help="after geno, verify N sampled reads' counts "
+                         "against the sequential oracle spec")
     ap.add_argument("--cache", default="/tmp/vgt_wgs")
     ap.add_argument("--mesh", type=int, default=4)
     ap.add_argument("--batch", type=int, default=2048)
@@ -192,18 +314,28 @@ def main():
     from vargeno_tpu.dist.sharded_dict import ShardedDictGenoRunner
     from vargeno_tpu.dist.sharding import make_mesh
 
+    if args.extra_reads:
+        fq = gen_extra_reads(args.cache, fa, vcf, args.extra_reads)
+
     cfg = GenoConfig(batch_reads=args.batch, max_read_len=128,
                      max_kmers_per_read=4, events_per_read=24)
     mesh = make_mesh(args.mesh)
     log(f"building sharded-dict runner over {args.mesh} devices")
     runner = ShardedDictGenoRunner(index, mesh, cfg)
     log("runner ready; streaming reads")
+    t0 = time.time()
+    n0 = runner.n_reads
     runner.consume_fastq(fq, limit_batches=args.limit_batches or None)
     jax.block_until_ready(runner.ref_cnt)
-    log(f"geno done: {runner.n_reads} reads, stats={runner.stats_totals}")
+    dt = time.time() - t0
+    log(f"geno done: {runner.n_reads} reads in {dt:.1f}s "
+        f"({(runner.n_reads-n0)/dt:.0f} reads/s on the virtual mesh), "
+        f"stats={runner.stats_totals}")
     out = os.path.join(args.cache, "out.vcf")
     runner.write_vcf(vcf, out)
     log(f"vcf written: {sum(1 for _ in open(out))} lines")
+    if args.spot_parity:
+        spot_parity(index, runner, fq, args.spot_parity)
 
 
 if __name__ == "__main__":

@@ -140,6 +140,28 @@ def main():
         out[f"word_gather_sorted_{N}"] = plaus(N / tws)
         out[f"row_gather_sorted_{N}"] = plaus(N / trs)
 
+    # shaped-index penalty: the SAME row gather issued with (B, K)-shaped
+    # indices. XLA materializes a (B, K, 32, 1) result whose trailing unit
+    # dim is tiled to 128 lanes -- measured ~3x slower than flat indices
+    # (engine.hashtable flattens every lookup because of this; keep the
+    # measurement here so a future XLA that fixes it is noticed)
+    N = 1 << 20
+    idx2d = jnp.asarray(rng.integers(0, n_rows, (N // 4, 4),
+                                     dtype=np.int32))
+    salt2d = jnp.asarray(rng.integers(0, 2**32, (N // 4, 4, 32),
+                                      dtype=np.uint32))
+
+    @jax.jit
+    def g_row2d(t, i, s, acc):
+        i2, acc2 = jax.lax.optimization_barrier((i, acc))
+        return jnp.sum(jnp.take(t, i2, axis=0, mode="clip") ^ s,
+                       dtype=jnp.uint32) ^ acc2
+
+    t2d, _ = timed(g_row2d, table_r, idx2d, salt2d)
+    print(f"row-gather shaped (B,4) {N/t2d/1e6:8.1f} Mlanes/s "
+          f"(flat is ~3x this on v5e)")
+    out["row_gather_shaped_1048576"] = plaus(N / t2d)
+
     # device-side sort rate (the enabler for sort-merge designs)
     N = 1 << 21
     keys = jnp.asarray(rng.integers(0, 2**32, N, dtype=np.uint32))

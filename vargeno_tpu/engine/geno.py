@@ -524,11 +524,12 @@ class GenoRunner:
         G = max(1, cfg.group_size) if encode is not None else 1
         stage_buf: list = []   # staged (enc, qual, count, host) sub-batches
 
-        def dispatch(codes, nk, qual, count_reads, host):
+        def dispatch(codes, nk, qual, count_reads, host, enc=None):
             """host = (codes, nk, qual, n_valid) for forward batches whose
             failures must be re-queued reverse-complemented; None for the
             retry batches themselves (the reference tries exactly two
-            orientations, qv.cc:1504-1510)."""
+            orientations, qv.cc:1504-1510). ``enc``: pre-packed kmer words
+            when the producer thread already encoded the batch."""
             nonlocal nb
             self.n_reads += count_reads
             nb += 1
@@ -538,7 +539,8 @@ class GenoRunner:
                 p["hosts"] = [host]
                 inflight.append(p)
                 return
-            enc = encode(codes, nk)
+            if enc is None:
+                enc = encode(codes, nk)
             stage_buf.append((enc, qual, count_reads, host))
             if len(stage_buf) >= G:
                 flush_stage()
@@ -621,29 +623,40 @@ class GenoRunner:
             pend_n += sel.size
 
         def flush_pending(force=False):
-            nonlocal pend_n, pend_codes, pend_nk, pend_qual
+            nonlocal pend_n
             while pend_n >= B or (force and pend_n > 0):
-                c = np.concatenate(pend_codes)
-                k = np.concatenate(pend_nk)
-                q = np.concatenate(pend_qual)
-                take, rest_c = c[:B], c[B:]
-                take_k, rest_k = k[:B], k[B:]
-                take_q, rest_q = q[:B], q[B:]
-                if take.shape[0] < B:
-                    pad = B - take.shape[0]
-                    take = np.concatenate(
-                        [take, np.full((pad, take.shape[1]), 4, np.uint8)])
-                    take_k = np.concatenate([take_k,
-                                             np.zeros(pad, np.int32)])
-                    take_q = np.concatenate(
-                        [take_q, np.zeros((pad, take_q.shape[1]),
-                                          np.uint8)])
-                # reset the queue BEFORE pump(): finalizing an in-flight
-                # forward batch during pump() may append new retries
-                pend_codes = [rest_c] if rest_c.size else []
-                pend_nk = [rest_k] if rest_k.size else []
-                pend_qual = [rest_q] if rest_q.size else []
-                pend_n = rest_k.shape[0]
+                # consume B rows from the FRONT of the queue segments:
+                # copies exactly one batch per flush instead of
+                # re-concatenating the whole queue (~8 ms/batch saved)
+                tc, tk, tq = [], [], []
+                got = 0
+                while pend_codes and got < B:
+                    need = B - got
+                    c0 = pend_codes[0]
+                    if c0.shape[0] <= need:
+                        tc.append(pend_codes.pop(0))
+                        tk.append(pend_nk.pop(0))
+                        tq.append(pend_qual.pop(0))
+                        got += c0.shape[0]
+                    else:
+                        tc.append(c0[:need])
+                        tk.append(pend_nk[0][:need])
+                        tq.append(pend_qual[0][:need])
+                        pend_codes[0] = c0[need:]
+                        pend_nk[0] = pend_nk[0][need:]
+                        pend_qual[0] = pend_qual[0][need:]
+                        got += need
+                if got < B:
+                    pad = B - got
+                    tc.append(np.full((pad, tc[0].shape[1]), 4, np.uint8))
+                    tk.append(np.zeros(pad, np.int32))
+                    tq.append(np.zeros((pad, tq[0].shape[1]), np.uint8))
+                take = np.concatenate(tc) if len(tc) > 1 else tc[0]
+                take_k = np.concatenate(tk) if len(tk) > 1 else tk[0]
+                take_q = np.concatenate(tq) if len(tq) > 1 else tq[0]
+                # queue state is updated BEFORE pump(): finalizing an
+                # in-flight forward batch during pump() may append retries
+                pend_n -= got
                 dispatch(take, take_k, take_q, 0, None)
                 pump()
 
@@ -658,21 +671,35 @@ class GenoRunner:
 
         import contextlib
 
-        it = iter(prefetch(iter_read_batches(
+        base_it = iter_read_batches(
             fastq_path, B, cfg.max_read_len, cfg.max_kmers_per_read,
-            skip_reads=skip)))
+            skip_reads=skip)
+        if encode is not None:
+            # encode in the PRODUCER thread: the native parse + pack both
+            # release the GIL, so they overlap the main thread's dispatch
+            # loop instead of serializing into it (~10-15 ms/batch)
+            def _producer():
+                for b in base_it:
+                    yield b, encode(b.codes, b.n_kmers)
+        else:
+            def _producer():
+                for b in base_it:
+                    yield b, None
+
+        it = iter(prefetch(_producer(), depth=3))
         while True:
             with (st.stage("read_batch") if st
                   else contextlib.nullcontext()):
-                batch = next(it, None)
-            if batch is None:
+                item = next(it, None)
+            if item is None:
                 break
+            batch, enc0 = item
             with (st.stage("dispatch") if st
                   else contextlib.nullcontext()):
                 dispatch(batch.codes, batch.n_kmers, batch.qual,
                          batch.n_valid,
                          (batch.codes, batch.n_kmers, batch.qual,
-                          batch.n_valid))
+                          batch.n_valid), enc=enc0)
             pump()
             flush_pending()
             if checkpoint_path and nb % checkpoint_every == 0:

@@ -216,12 +216,16 @@ class _MultiHostMixin:
                 self.meter.bump(q["count"])
             if checkpoint_path and nb % checkpoint_every == 0:
                 while inflight:
-                    self._finalize_batch(inflight.popleft())
+                    q = inflight.popleft()
+                    self._finalize_batch(q)
+                    self.meter.bump(q["count"])
                 self._ckpt_save(checkpoint_path)
             if limit_batches and nb >= limit_batches:
                 break
         while inflight:
-            self._finalize_batch(inflight.popleft())
+            q = inflight.popleft()
+            self._finalize_batch(q)
+            self.meter.bump(q["count"])
         if checkpoint_path:
             self._ckpt_save(checkpoint_path)
         overflow = {k: v for k, v in self.stats_totals.items()

@@ -79,9 +79,12 @@ def tuned_config(cfg, dix, batch_max: dict, headroom: float = 2.0):
             if cap_new < cap_cur:
                 upd[field] = cap_new / N_probe
 
-    # CS: compacted block-scan lanes = max(64, int(NI * S * frac))
-    S_r = max(1, min(cfg.scan_slot_cap, getattr(dix, "ref_scan_max", 1)))
-    S_s = max(1, min(cfg.scan_slot_cap, getattr(dix, "snp_scan_max", 1)))
+    # CS: compacted block-scan lanes = max(64, int(NI * S * frac)); S
+    # mirrors LocalBackend's slot formula exactly (scan_slot_cap AND
+    # block_size_threshold clamp the per-dict build-time maxima)
+    S_cap = min(cfg.scan_slot_cap, cfg.block_size_threshold)
+    S_r = max(1, min(S_cap, getattr(dix, "ref_scan_max", 1)))
+    S_s = max(1, min(S_cap, getattr(dix, "snp_scan_max", 1)))
     need_r = batch_max.get("ref_scan_lanes_max", 0)
     need_s = batch_max.get("snp_scan_lanes_max", 0)
     if need_r or need_s:

@@ -119,15 +119,24 @@ def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
                 fill = 0
     if fill:
         yield ReadBatch(codes.copy(), n_kmers.copy(), qual.copy(), fill)
-    if (max_slen // 32) * 32 > (L // 32) * 32:
+    _warn_truncation(max_slen, L, Km)
+
+
+def _warn_truncation(max_slen: int, L: int, Km: int) -> None:
+    """Warn whenever a read LOST K-MERS to the configured shapes: either
+    its bases exceed the padded length L, or its floor(len/32) k-mers
+    exceed the slot cap Km (Km may be < L//32 when auto-sized from a
+    peek of the file's head, io.fastq.autosize_shapes)."""
+    if max_slen // 32 > min(L // 32, Km):
         import warnings
 
         warnings.warn(
-            f"FASTQ contains reads up to {max_slen} bases but "
-            f"max_read_len={L}: long reads were TRUNCATED and results may "
-            f"diverge from the reference. Re-run with --max-read-len "
-            f"{min((max_slen // 32) * 32, REF_MAX_READ_LEN)} or let the "
-            f"CLI auto-size from the FASTQ.")
+            f"FASTQ contains reads up to {max_slen} bases but the engine "
+            f"shapes cover only {min(L // 32, Km)} k-mers/read "
+            f"(max_read_len={L}, kmer slots={Km}): long reads were "
+            f"TRUNCATED and results may diverge from the reference. "
+            f"Re-run with --max-read-len "
+            f"{min((max_slen // 32) * 32, REF_MAX_READ_LEN)}.")
 
 
 class _FastqStream:
@@ -144,12 +153,14 @@ class _FastqStream:
         self.chunk = chunk
         self.buf = b""
         self.eof = False
+        self.max_slen = 0
         from .. import native
 
         self._native = native if native.available() else None
 
     def close(self):
         self.f.close()
+        _warn_truncation(self.max_slen, self.L, self.Km)
 
     def _fill(self) -> bool:
         if self.eof:
@@ -207,6 +218,7 @@ class _FastqStream:
             qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.byref(mx))
         self.buf = data[cursor.value:]
+        self.max_slen = max(self.max_slen, int(mx.value))
         return codes, nk, qual, int(got)
 
     def _parse_py(self, n: int):
@@ -221,6 +233,7 @@ class _FastqStream:
             # record r spans lines 4r..4r+3: header, seq, sep, qual
             seq = mv[int(nl[4 * r]) + 1: int(nl[4 * r + 1])]
             q = mv[nl[4 * r + 2] + 1: nl[4 * r + 3]]
+            self.max_slen = max(self.max_slen, len(seq))
             ln = min(len(seq), L)
             codes[r, :ln] = np_codes_from_bytes(seq[:ln])
             nk[r] = min(ln // 32, Km)

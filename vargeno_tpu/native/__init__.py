@@ -179,19 +179,11 @@ def fastq_batches(path: str, batch: int, L: int, K: int,
             tail = data[cursor.value:]
     # truncation only diverges when it costs whole k-mers: the reference
     # itself floors reads to 32-base multiples (src/qv.cc:778-779), so a
-    # read of length in (L, L+31] encodes identically
-    if (max_slen.value // 32) * 32 > (L // 32) * 32:
-        import warnings
+    # read of length in (L, L+31] encodes identically; the K check covers
+    # auto-sized slot caps below L//32 (io.fastq.autosize_shapes)
+    from ..io.fastq import _warn_truncation
 
-        from ..io.fastq import REF_MAX_READ_LEN
-
-        warnings.warn(
-            f"FASTQ contains reads up to {max_slen.value} bases but "
-            f"max_read_len={L}: long reads were TRUNCATED and results may "
-            f"diverge from the reference (which handles up to 1022 bases)."
-            f" Re-run with --max-read-len "
-            f"{min((max_slen.value // 32) * 32, REF_MAX_READ_LEN)} "
-            f"or let the CLI auto-size from the FASTQ.")
+    _warn_truncation(max_slen.value, L, K)
 
 
 def encode_batch(codes: np.ndarray, n_kmers: np.ndarray, K: int):

@@ -79,12 +79,18 @@ def _golden():
 
 
 @pytest.mark.slow
-def test_multihost_dp_golden(mini_prefix, tmp_path):
+@pytest.mark.parametrize("mode", [(), ("--mh-inline-dual",)],
+                         ids=["queued-retry", "inline-dual"])
+def test_multihost_dp_golden(mini_prefix, tmp_path, mode):
+    """Both orientation protocols must byte-match the reference golden:
+    the default lockstep queued-retry (~1.5x device work, retry schedule
+    derived from replicated stats) and the inline dual step (2x)."""
     out = str(tmp_path / "out.vcf")
     port = _free_port()
     _spawn_cluster([
-        _geno_cmd(mini_prefix, out, port, 0),
-        _geno_cmd(mini_prefix, str(tmp_path / "ignored.vcf"), port, 1),
+        _geno_cmd(mini_prefix, out, port, 0, mode),
+        _geno_cmd(mini_prefix, str(tmp_path / "ignored.vcf"), port, 1,
+                  mode),
     ])
     assert open(out, "rb").read() == _golden()
 

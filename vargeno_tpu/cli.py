@@ -126,6 +126,10 @@ def main(argv=None):
     m.add_argument("--mh-cpu-devices", type=int, default=0,
                    help="force a virtual CPU host with N local devices "
                         "(local multi-process validation)")
+    m.add_argument("--mh-inline-dual", action="store_true",
+                   help="forward+reverse in one dispatch (2x device work) "
+                        "instead of the default lockstep queued-retry "
+                        "(~1.5x); results are bit-identical")
     _add_engine_flags(p)
 
     p = sub.add_parser("cohort", help="genotype multiple samples")
@@ -240,7 +244,9 @@ def main(argv=None):
             mesh = make_mesh(args.mesh or None)
             cls = (multihost.MultiHostDictGenoRunner if args.sharded_dict
                    else multihost.MultiHostGenoRunner)
-            runner = cls(index, mesh, cfg, metrics_path=args.metrics)
+            runner = cls(index, mesh, cfg,
+                         queued_orientation=not args.mh_inline_dual,
+                         metrics_path=args.metrics)
         elif args.mesh:
             from .dist.sharded_dict import ShardedDictGenoRunner
             from .dist.sharding import ShardedGenoRunner, make_mesh

@@ -113,16 +113,20 @@ class LocalBackend:
     snp_scan_lanes = None
 
     def exact_both_sparse(self, q_hi, q_lo, act_ref, act_snp):
-        """Prefiltered combined lookup over lanes where either dictionary
-        is being probed. TWO compactions: active lanes first (typically
-        5-25% of the probe grid -- Bloom bounds and base!=current masks
-        kill the rest), then prefilter passers (a few % of active).
-        Gathers on this device are LANE-rate-bound (~20-75 M lanes/s
-        measured, tools/bench_gather.py), not byte-bound, so shrinking the
-        prefilter gather from N to ~N/6 lanes is the probe stage's main
-        cost lever. Returns the exact_both 7-tuple with hits masked by the
-        per-dict activity masks."""
-        from .hashtable import ht_lookup_both, prefilter_test
+        """Combined lookup over lanes where either dictionary is being
+        probed: ONE compaction to active lanes (typically 5-25% of the
+        probe grid -- Bloom bounds and base!=current masks kill the rest),
+        then a DIRECT bucket-row lookup on the compacted lanes.
+
+        A one-bit membership prefilter + second compaction used to sit
+        between them, but an in-step trace showed the prefilter's 4 B word
+        gather running at ~34 M lanes/s while the full-lane-width 512 B
+        bucket rows gather at ~95-100 M rows/s (tools/bench_rowwidth.py;
+        XLA scalarizes sub-lane-width random gathers but row-DMAs full
+        tiles) -- the filter cost ~3x the probes it pruned. Returns the
+        exact_both 7-tuple with hits masked by the per-dict activity
+        masks."""
+        from .hashtable import ht_lookup_both
 
         d = self.dix
         shp = q_hi.shape
@@ -133,7 +137,7 @@ class LocalBackend:
         v = ar | as_
         N = qh.shape[0]
 
-        # --- compaction 1: active lanes (packed (qh, ql) row gather) ---
+        # --- compaction: active lanes (packed (qh, ql) row gather) ---
         NC = max(64, min(N, int(N * self.active_frac)))
         act_n = jnp.sum(v, dtype=I32)
         self.act_lanes = act_n if self.act_lanes is None \
@@ -149,40 +153,25 @@ class LocalBackend:
         qh_c = krows[:, 0]
         ql_c = krows[:, 1]
 
-        # --- prefilter on the compacted lanes ---
-        maybe = prefilter_test(d.both_pf, d.both_pf_bits, qh_c, ql_c, a_ok)
-
-        # --- compaction 2: prefilter passers ---
-        NS = max(64, min(NC, int(N * self.sparse_frac)))
-        sp_n = jnp.sum(maybe, dtype=I32)
-        self.sparse_lanes = sp_n if self.sparse_lanes is None \
-            else jnp.maximum(self.sparse_lanes, sp_n)
-        srcs, ovf = compact_src(maybe, NS)
-        if self.sparse_overflow is None:
-            self.sparse_overflow = jnp.zeros((), I32)
-        self.sparse_overflow = self.sparse_overflow + ovf
-        s_ok = srcs >= 0
-        srcs = jnp.maximum(srcs, 0)
         (r_hit, r_pos, r_flag, s_hit, s_pos, s_info, s_flag) = \
             ht_lookup_both(d.both_ht, d.both_ht_nb, d.both_ht_chain,
-                           qh_c[srcs], ql_c[srcs])
-        # scatter-back straight to the ORIGINAL lane ids (compose the two
-        # compactions' source maps); one scalar scatter per result word --
-        # scalar-element scatters vectorize (~600 M lanes/s) where a
-        # 3-word row scatter of the same source count is ~25x slower
+                           qh_c, ql_c, a_ok)
+        # scatter-back straight to the ORIGINAL lane ids; one scalar
+        # scatter per result word -- scalar-element scatters vectorize
+        # (~600 M lanes/s) where a 3-word row scatter of the same source
+        # count is ~25x slower
         bits = (r_hit.astype(U32) | (s_hit.astype(U32) << 1)
                 | (r_flag.astype(U32) << 8) | (s_flag.astype(U32) << 16)
                 | (s_info.astype(U32) << 24))
-        orig = jnp.where(s_ok, jnp.take(src_a, srcs), N)     # NS lanes
-        orig = jnp.where(orig >= 0, orig, N)
+        orig = jnp.where(a_ok, sa, N)                # NC lanes
         fr_pos = jnp.zeros(N, U32).at[orig].set(
-            jnp.where(s_ok, r_pos, U32(0)), mode="drop",
+            jnp.where(a_ok, r_pos, U32(0)), mode="drop",
             unique_indices=True).reshape(shp)
         fs_pos = jnp.zeros(N, U32).at[orig].set(
-            jnp.where(s_ok, s_pos, U32(0)), mode="drop",
+            jnp.where(a_ok, s_pos, U32(0)), mode="drop",
             unique_indices=True).reshape(shp)
         fb = jnp.zeros(N, U32).at[orig].set(
-            jnp.where(s_ok, bits, U32(0)), mode="drop",
+            jnp.where(a_ok, bits, U32(0)), mode="drop",
             unique_indices=True).reshape(shp)
         fr_hit = ((fb & U32(1)) != 0) & act_ref
         fs_hit = ((fb & U32(2)) != 0) & act_snp

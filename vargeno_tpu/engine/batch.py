@@ -943,9 +943,10 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         qv.cc:1504-1510). Reverse batches are fed as pre-complemented codes.
         """
         be = backend_factory(dix_t)
-        res = orientation_pass(
-            dix_t, be, encode_batch(codes, n_kmers, sh.K), qual)
-        return _finish_single(dix_t, be, res, ref_cnt, alt_cnt)
+        enc = encode_batch(codes, n_kmers, sh.K)
+        res = orientation_pass(dix_t, be, enc, qual)
+        return _finish_single(dix_t, be, res, enc[2][:, 0], ref_cnt,
+                              alt_cnt)
 
     def step_single_enc(dix_t, hi, lo, kvalid, read_ok, qual, ref_cnt,
                         alt_cnt):
@@ -954,9 +955,10 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         (B, L) base codes -- ~3.6x less transfer per dispatch."""
         be = backend_factory(dix_t)
         res = orientation_pass(dix_t, be, (hi, lo, kvalid, read_ok), qual)
-        return _finish_single(dix_t, be, res, ref_cnt, alt_cnt)
+        return _finish_single(dix_t, be, res, kvalid[:, 0], ref_cnt,
+                              alt_cnt)
 
-    def _finish_single(dix_t, be, res, ref_cnt, alt_cnt):
+    def _finish_single(dix_t, be, res, kv0, ref_cnt, alt_cnt):
         ref_cnt, alt_cnt, aovf, sovf = pileup_accumulate(
             dix_t, res["buf"], res["process"], res["target"], ref_cnt,
             alt_cnt)
@@ -964,6 +966,13 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         stats["agree_overflow"] = aovf
         stats["site_slot_overflow"] = sovf
         stats["n_processed"] = jnp.sum(res["process"])
+        # reads this orientation failed that are retry-eligible (the host's
+        # reverse-complement queueing predicate, kv0 = (nk>0) & read_ok):
+        # multi-host runners read this PER-DEVICE stat from the replicated
+        # stats rows to schedule lockstep retry batches with no extra
+        # communication (dist.multihost)
+        stats["retry_n"] = jnp.sum(~res["process"] & res["read_ok"] & kv0,
+                                   dtype=I32)
         rovf = getattr(be, "route_overflow", None)
         if rovf is not None:
             stats["route_overflow"] = rovf

@@ -101,6 +101,27 @@ def _prefetch_host(*arrs):
                 pass
 
 
+def revcomp_select_host(codes, nk, qual, sel):
+    """Gather rows ``sel`` and reverse-complement them (qv.cc:787-806),
+    native C when available (one pass, ~1 ms/batch) else numpy. Shared by
+    the single-device retry queue and the multi-host lockstep retry
+    protocol (dist.multihost)."""
+    from .. import native
+
+    if native.available():
+        return native.revcomp_select(codes, nk, qual, sel)
+    c = codes[sel]
+    k = nk[sel]
+    length = k * 32
+    L = c.shape[1]
+    idx = length[:, None] - 1 - np.arange(L)[None, :]
+    valid = idx >= 0
+    g = np.take_along_axis(c, np.clip(idx, 0, L - 1), axis=1)
+    rc = np.where(g < 4, 3 - g, g)
+    rc = np.where(valid, rc, 4).astype(np.uint8)
+    return rc, k, qual[sel]
+
+
 def _bits32(mask):
     """(..., B) bool -> (..., ceil(B/32)) i32 bit-pack."""
     b = mask.shape[-1]
@@ -336,6 +357,7 @@ class GenoRunner:
                 vals = np.asarray(p["stats_vec"])
                 process, read_ok = p["process"], p["read_ok"]
                 if vals.ndim == 2:   # mesh runners: per-device (D, S) rows
+                    p["stats_rows"] = vals   # multi-host retry scheduler
                     stats = {k: int(vals[:, i].max() if k.endswith("_max")
                                     else vals[:, i].sum())
                              for i, k in enumerate(p["stats_keys"])}
@@ -677,25 +699,7 @@ class GenoRunner:
                 return
             sel = np.flatnonzero(retry)
             self.n_retry_reads += sel.size
-            from .. import native
-
-            if native.available():
-                # one C pass: gather + reverse-complement + pad
-                # (qv.cc:787-806; the numpy chain below costs ~20 ms/batch
-                # on the dispatch loop's critical path)
-                rc, k, q = native.revcomp_select(codes, nk, qual, sel)
-            else:
-                c = codes[sel]
-                k = nk[sel]
-                length = k * 32
-                L = c.shape[1]
-                # reverse-complement the first length bases (qv.cc:787-806)
-                idx = length[:, None] - 1 - np.arange(L)[None, :]
-                valid = idx >= 0
-                g = np.take_along_axis(c, np.clip(idx, 0, L - 1), axis=1)
-                rc = np.where(g < 4, 3 - g, g)
-                rc = np.where(valid, rc, 4).astype(np.uint8)
-                q = qual[sel]
+            rc, k, q = revcomp_select_host(codes, nk, qual, sel)
             pend_codes.append(rc)
             pend_nk.append(k)
             pend_qual.append(q)

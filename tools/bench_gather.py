@@ -140,6 +140,30 @@ def main():
         out[f"word_gather_sorted_{N}"] = plaus(N / tws)
         out[f"row_gather_sorted_{N}"] = plaus(N / trs)
 
+    # full-lane-width rows (128 u32 = 512 B -- the combined hash table's
+    # bucket row): XLA row-DMAs these instead of scalarizing, measured
+    # ~3.4x FASTER per row than 128 B rows on v5e (tools/bench_rowwidth.py
+    # has the full width sweep); feeds roofline's row512 rate
+    n_rows5 = MB * 2**20 // 512
+    table_r5 = jnp.asarray(
+        rng.integers(0, 2**32, (n_rows5, 128), dtype=np.uint32))
+    N5 = 1 << 19
+    idx_r5 = jnp.asarray(rng.integers(0, n_rows5, N5, dtype=np.int32))
+    salt_r5 = jnp.asarray(rng.integers(0, 2**32, (N5, 128),
+                                       dtype=np.uint32))
+
+    @jax.jit
+    def g_row5(t, i, s, acc):
+        i2, acc2 = jax.lax.optimization_barrier((i, acc))
+        return jnp.sum(jnp.take(t, i2, axis=0, mode="clip") ^ s,
+                       dtype=jnp.uint32) ^ acc2
+
+    tr5, _ = timed(g_row5, table_r5, idx_r5, salt_r5)
+    print(f"row-gather 512B {N5/tr5/1e6:8.1f} Mlanes/s "
+          f"({N5*512/tr5/1e9:6.2f} GB/s)")
+    out["row_gather_512B"] = plaus(N5 / tr5)
+    del table_r5, salt_r5
+
     # shaped-index penalty: the SAME row gather issued with (B, K)-shaped
     # indices. XLA materializes a (B, K, 32, 1) result whose trailing unit
     # dim is tiled to 128 lanes -- measured ~3x slower than flat indices

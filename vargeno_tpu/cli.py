@@ -15,6 +15,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from .errors import InputError
+
 
 def _add_engine_flags(p):
     p.add_argument("--batch-reads", type=int, default=32768,
@@ -87,6 +89,15 @@ def _config(args, fastqs=()):
 
 
 def main(argv=None):
+    try:
+        return _main(argv)
+    except InputError as e:
+        # malformed user input: one actionable line, not a traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+def _main(argv=None):
     ap = argparse.ArgumentParser(prog="vargeno-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -23,7 +23,7 @@ import math
 # them with fwd_/rev_ prefixes which the runner strips)
 TUNE_KEYS = ("ev_max", "lowq_n", "probe_lanes_max", "act_lanes_max",
              "sparse_lanes_max", "ref_scan_lanes_max",
-             "snp_scan_lanes_max")
+             "snp_scan_lanes_max", "agree_lanes_max")
 
 
 def _ceil_to(x: float, m: int) -> int:
@@ -94,6 +94,14 @@ def tuned_config(cfg, dix, batch_max: dict, headroom: float = 2.0):
         f_new = min(f_cur, max(f_r, f_s))
         if f_new < f_cur:
             upd["scan_active_frac"] = f_new
+
+    # FA: compacted agreeing-context lanes = max(64, B * agree_cap); the
+    # pileup stage's site-directory/word gathers all run on FA lanes
+    need_a = batch_max.get("agree_lanes_max", 0)
+    if need_a:
+        cap_new = max(1, math.ceil(need_a * headroom / B))
+        if cap_new < cfg.agree_cap:
+            upd["agree_cap"] = cap_new
 
     if not upd:
         return cfg

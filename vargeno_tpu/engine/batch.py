@@ -781,6 +781,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         agree = (buf["valid"] & use_mask[:, None]
                  & (buf["idx"] == target[:, None])).reshape(-1)
+        agree_n = jnp.sum(agree, dtype=I32)   # capacity-tuning telemetry
         src_idx, agree_ovf = compact_src(agree, FA)
         f_ok = src_idx >= 0
         s = jnp.maximum(src_idx, 0)
@@ -878,7 +879,7 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
         tgt_row = jnp.where(g_ok, g_src, dump)
         ref_cnt = ref_cnt.at[tgt_row].add(add_ref.astype(I32), mode="drop")
         alt_cnt = alt_cnt.at[tgt_row].add(add_alt.astype(I32), mode="drop")
-        return ref_cnt, alt_cnt, agree_ovf + site_ovf, slot_ovf
+        return ref_cnt, alt_cnt, agree_ovf + site_ovf, slot_ovf, agree_n
 
     # ------------------------------------------------------------------
     def step(dix_t, codes, n_kmers, qual, ref_cnt, alt_cnt):
@@ -906,16 +907,18 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
 
         if _ablate == "no_pileup":
             aovf1 = aovf2 = sovf1 = sovf2 = jnp.zeros((), I32)
+            an1 = an2 = jnp.zeros((), I32)
         else:
-            ref_cnt, alt_cnt, aovf1, sovf1 = pileup_accumulate(
+            ref_cnt, alt_cnt, aovf1, sovf1, an1 = pileup_accumulate(
                 dix_t, fwd["buf"], use_fwd, fwd["target"], ref_cnt, alt_cnt)
-            ref_cnt, alt_cnt, aovf2, sovf2 = pileup_accumulate(
+            ref_cnt, alt_cnt, aovf2, sovf2, an2 = pileup_accumulate(
                 dix_t, rev["buf"], use_rev, rev["target"], ref_cnt, alt_cnt)
 
         stats = {("fwd_" + k): v for k, v in fwd["stats"].items()}
         stats.update({("rev_" + k): v for k, v in rev["stats"].items()})
         stats["agree_overflow"] = aovf1 + aovf2
         stats["site_slot_overflow"] = sovf1 + sovf2
+        stats["agree_lanes_max"] = jnp.maximum(an1, an2)
         stats["n_processed"] = jnp.sum(use_fwd | use_rev)
         rovf = getattr(be, "route_overflow", None)
         if rovf is not None:
@@ -959,12 +962,13 @@ def make_batch_processor(dix: DeviceIndex, config: GenoConfig,
                               alt_cnt)
 
     def _finish_single(dix_t, be, res, kv0, ref_cnt, alt_cnt):
-        ref_cnt, alt_cnt, aovf, sovf = pileup_accumulate(
+        ref_cnt, alt_cnt, aovf, sovf, agree_n = pileup_accumulate(
             dix_t, res["buf"], res["process"], res["target"], ref_cnt,
             alt_cnt)
         stats = dict(res["stats"])
         stats["agree_overflow"] = aovf
         stats["site_slot_overflow"] = sovf
+        stats["agree_lanes_max"] = agree_n
         stats["n_processed"] = jnp.sum(res["process"])
         # reads this orientation failed that are retry-eligible (the host's
         # reverse-complement queueing predicate, kv0 = (nk>0) & read_ok):

@@ -31,9 +31,20 @@ def save(path: str, ref_cnt, alt_cnt, n_reads: int, extra: dict | None = None
 
 
 def load(path: str):
-    """Returns (ref_cnt, alt_cnt, meta) or None if no checkpoint exists."""
+    """Returns (ref_cnt, alt_cnt, meta) or None if no checkpoint exists.
+
+    A PRESENT-but-unreadable checkpoint raises (silently restarting from
+    zero would double-count every read before the corruption)."""
     if not (os.path.exists(path + ".npz") and os.path.exists(path + ".json")):
         return None
-    z = np.load(path + ".npz")
-    meta = json.load(open(path + ".json"))
-    return z["ref_cnt"], z["alt_cnt"], meta
+    try:
+        z = np.load(path + ".npz")
+        meta = json.load(open(path + ".json"))
+        return z["ref_cnt"], z["alt_cnt"], meta
+    except Exception as e:  # noqa: BLE001 - any unreadable container
+        from ..errors import InputError
+
+        raise InputError(
+            f"{path}.npz/.json: checkpoint exists but is unreadable "
+            f"({e}); delete both files to restart from the beginning, or "
+            f"restore them from a copy") from e

@@ -119,8 +119,30 @@ def save_npz(prefix: str, index: VarGenoIndex) -> None:
     )
 
 
+def _format_err(path, what, cause=None):
+    from ..errors import IndexFormatError
+
+    raise IndexFormatError(
+        f"{path}: {what} -- not a vargeno index file, a different format "
+        f"version, or truncated; rebuild with `vargeno-tpu index`"
+    ) from cause
+
+
 def load_npz(prefix: str) -> VarGenoIndex:
-    z = np.load(prefix + ".vgt.npz", allow_pickle=False)
+    path = prefix + ".vgt.npz"
+    try:
+        z = np.load(path, allow_pickle=False)
+    except FileNotFoundError:
+        raise
+    except Exception as e:  # noqa: BLE001 - any unreadable container
+        _format_err(path, f"unreadable archive ({e})", e)
+    try:
+        return _load_npz_arrays(prefix, z)
+    except KeyError as e:
+        _format_err(path, f"missing index array {e}", e)
+
+
+def _load_npz_arrays(prefix: str, z) -> VarGenoIndex:
     ref = RefDict(kmers=z["ref_kmers"], pos=z["ref_pos"], flag=z["ref_flag"],
                   aux=z["ref_aux"])
     snp = SnpDict(kmers=z["snp_kmers"], pos=z["snp_pos"], snp=z["snp_snp"],
@@ -208,13 +230,20 @@ def load_dir(prefix: str, mmap: bool = True) -> VarGenoIndex:
     import os
 
     d = prefix + ".vgt"
-    with open(os.path.join(d, "meta.json")) as f:
-        meta = json.load(f)
+    try:
+        with open(os.path.join(d, "meta.json")) as f:
+            meta = json.load(f)
+    except (OSError, ValueError) as e:
+        _format_err(os.path.join(d, "meta.json"),
+                    f"unreadable index metadata ({e})", e)
     mm = "r" if mmap else None
 
     def ld(key):
-        return np.load(os.path.join(d, _DIR_ARRAYS[key] + ".npy"),
-                       mmap_mode=mm)
+        p = os.path.join(d, _DIR_ARRAYS[key] + ".npy")
+        try:
+            return np.load(p, mmap_mode=mm)
+        except (OSError, ValueError) as e:
+            _format_err(p, f"unreadable index array ({e})", e)
 
     ref = RefDict(kmers=ld("ref_kmers"), pos=ld("ref_pos"),
                   flag=ld("ref_flag"), aux=ld("ref_aux"))
@@ -272,9 +301,19 @@ def write_ref_dict(path: str, d: RefDict) -> None:
 
 def read_ref_dict(path: str) -> RefDict:
     with open(path, "rb") as f:
-        n, m = np.fromfile(f, "<u8", 2)
+        hdr = np.fromfile(f, "<u8", 2)
+        if hdr.size != 2:
+            _format_err(path, "missing 16-byte dictionary header")
+        n, m = hdr
         rows = np.fromfile(f, _REF_ROW, int(n))
-        aux = np.fromfile(f, "<u4", int(m) * 10).reshape(int(m), 10)
+        if rows.size != int(n):
+            _format_err(path, f"header promises {n} dict rows, file holds "
+                              f"{rows.size}")
+        aux = np.fromfile(f, "<u4", int(m) * 10)
+        if aux.size != int(m) * 10:
+            _format_err(path, f"header promises {m} aux rows, file holds "
+                              f"{aux.size // 10}")
+        aux = aux.reshape(int(m), 10)
     return RefDict(kmers=rows["kmer"].copy(), pos=rows["pos"].copy(),
                    flag=rows["flag"].copy(), aux=aux)
 
@@ -301,9 +340,18 @@ def write_snp_dict(path: str, d: SnpDict) -> None:
 
 def read_snp_dict(path: str) -> SnpDict:
     with open(path, "rb") as f:
-        n, m = np.fromfile(f, "<u8", 2)
+        hdr = np.fromfile(f, "<u8", 2)
+        if hdr.size != 2:
+            _format_err(path, "missing 16-byte dictionary header")
+        n, m = hdr
         rows = np.fromfile(f, _SNP_ROW, int(n))
+        if rows.size != int(n):
+            _format_err(path, f"header promises {n} dict rows, file holds "
+                              f"{rows.size}")
         aux = np.fromfile(f, _SNP_AUX_ROW, int(m))
+        if aux.size != int(m):
+            _format_err(path, f"header promises {m} aux rows, file holds "
+                              f"{aux.size}")
     return SnpDict(
         kmers=rows["kmer"].copy(), pos=rows["pos"].copy(),
         snp=rows["snp"].copy(), flag=rows["flag"].copy(),
@@ -325,7 +373,13 @@ def write_sdsl_bf(path: str, bv: BitVector) -> None:
 
 def read_sdsl_bf(path: str) -> BitVector:
     with open(path, "rb") as f:
-        bits = int(np.fromfile(f, "<u8", 1)[0])
+        hdr = np.fromfile(f, "<u8", 1)
+        if hdr.size != 1:
+            _format_err(path, "missing 8-byte bit-vector header")
+        bits = int(hdr[0])
         words = np.fromfile(f, "<u8")
     need = (bits + 63) // 64
+    if words.size < need:
+        _format_err(path, f"bit vector truncated: header promises {bits} "
+                          f"bits ({need} words), file holds {words.size}")
     return BitVector(bits=bits, words=words[:need].copy())

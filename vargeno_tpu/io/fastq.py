@@ -92,13 +92,23 @@ def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
     with open(path, "rb") as f:
         for _ in range(skip_reads * 4):
             f.readline()
+        n_qmm = 0
         while True:
             rid = f.readline()
-            if not rid:
+            if not rid or not rid.strip():
                 break
-            seq = f.readline().rstrip(b"\n")
+            seq = f.readline().rstrip(b"\r\n")
             _sep = f.readline()
-            q = f.readline().rstrip(b"\n")
+            q = f.readline().rstrip(b"\r\n")
+            if not _sep:
+                from ..errors import FastqError
+
+                raise FastqError(
+                    f"{path}: file ends mid-record (header {rid[:50]!r} "
+                    f"has no '+'/quality lines) -- truncated download or "
+                    f"concatenation?")
+            if len(q) != len(seq):
+                n_qmm += 1
             max_slen = max(max_slen, len(seq))
             ln = min(len(seq), L)
             k = min(ln // 32, Km)
@@ -120,6 +130,7 @@ def iter_read_batches(path: str, batch_reads: int, max_read_len: int,
     if fill:
         yield ReadBatch(codes.copy(), n_kmers.copy(), qual.copy(), fill)
     _warn_truncation(max_slen, L, Km)
+    _warn_qual_mismatch(n_qmm, path)
 
 
 def _warn_truncation(max_slen: int, L: int, Km: int) -> None:
@@ -137,6 +148,19 @@ def _warn_truncation(max_slen: int, L: int, Km: int) -> None:
             f"TRUNCATED and results may diverge from the reference. "
             f"Re-run with --max-read-len "
             f"{min((max_slen // 32) * 32, REF_MAX_READ_LEN)}.")
+
+
+def _warn_qual_mismatch(n: int, path: str) -> None:
+    """Quality lines shorter/longer than their sequence violate the FASTQ
+    spec; quality is indexed by K-MER slot (src/qv.cc:836), so a short
+    line silently mis-gates the neighbor search for that read."""
+    if n:
+        import warnings
+
+        warnings.warn(
+            f"{path}: {n} record(s) have a quality line whose length "
+            f"differs from the sequence length; missing positions read as "
+            f"quality 0 (always below the neighbor-search threshold).")
 
 
 class _FastqStream:
@@ -211,12 +235,13 @@ class _FastqStream:
         data = self.buf
         cursor = ctypes.c_int64(0)
         mx = ctypes.c_int64(0)
+        qmm = ctypes.c_int64(0)
         got = lib.vgt_fastq_batch(
             ctypes.c_char_p(data), len(data), ctypes.byref(cursor), n, L,
             Km, codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             nk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.byref(mx))
+            ctypes.byref(mx), ctypes.byref(qmm))
         self.buf = data[cursor.value:]
         self.max_slen = max(self.max_slen, int(mx.value))
         return codes, nk, qual, int(got)

@@ -25,14 +25,23 @@ class VcfRow:
 
 def iter_vcf_rows(path: str) -> Iterator[VcfRow]:
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             if not line or line[0] == "#" or line[0] == "\n":
                 continue
-            cols = line.rstrip("\n").split("\t")
+            cols = line.rstrip("\r\n").split("\t")
             if len(cols) < 8:
                 cols = cols + [""] * (8 - len(cols))
+            try:
+                pos1 = int(cols[1])
+            except ValueError as e:
+                from ..errors import VcfError
+
+                raise VcfError(
+                    f"{path}:{lineno}: malformed VCF row -- POS column is "
+                    f"{cols[1]!r}, expected an integer (columns must be "
+                    f"tab-separated: CHROM POS ID REF ALT ...)") from e
             yield VcfRow(
-                chrom=cols[0], pos1=int(cols[1]), ref=cols[3], alt=cols[4],
+                chrom=cols[0], pos1=pos1, ref=cols[3], alt=cols[4],
                 info=cols[7], line=line)
 
 

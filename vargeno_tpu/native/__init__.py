@@ -54,6 +54,7 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64)]
         lib.vgt_encode_batch.restype = None
         lib.vgt_encode_batch.argtypes = [
@@ -129,6 +130,7 @@ def fastq_batches(path: str, batch: int, L: int, K: int,
     lib = _load()
     assert lib is not None
     max_slen = ctypes.c_int64(0)
+    qlen_mm = ctypes.c_int64(0)
     with open(path, "rb") as f:
         lines_left = 4 * skip_reads
         carry = b""
@@ -166,7 +168,7 @@ def fastq_batches(path: str, batch: int, L: int, K: int,
                     codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     n_kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                     qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                    ctypes.byref(max_slen))
+                    ctypes.byref(max_slen), ctypes.byref(qlen_mm))
                 if got == 0:
                     break
                 if got < batch:
@@ -177,13 +179,21 @@ def fastq_batches(path: str, batch: int, L: int, K: int,
                 if got < batch:   # parser stopped short: window exhausted
                     break
             tail = data[cursor.value:]
+    if tail.strip():
+        from ..errors import FastqError
+
+        raise FastqError(
+            f"{path}: file ends mid-record -- {len(tail)} trailing bytes "
+            f"do not form a complete 4-line FASTQ record (truncated "
+            f"download or concatenation?): {tail[:60]!r}...")
     # truncation only diverges when it costs whole k-mers: the reference
     # itself floors reads to 32-base multiples (src/qv.cc:778-779), so a
     # read of length in (L, L+31] encodes identically; the K check covers
     # auto-sized slot caps below L//32 (io.fastq.autosize_shapes)
-    from ..io.fastq import _warn_truncation
+    from ..io.fastq import _warn_truncation, _warn_qual_mismatch
 
     _warn_truncation(max_slen.value, L, K)
+    _warn_qual_mismatch(qlen_mm.value, path)
 
 
 def encode_batch(codes: np.ndarray, n_kmers: np.ndarray, K: int):

@@ -54,10 +54,17 @@ extern "C" {
 // can detect reads longer than the configured L (silent truncation would
 // diverge from the reference, which handles reads up to 1023 bases --
 // BUF_SIZE at src/qv.cc:700).
+// qlen_mismatch (in/out): count of records whose quality-line length
+// differs from the sequence length (spec violation; quality is indexed by
+// k-mer slot, qv.cc:836, so a short line silently mis-gates the neighbor
+// search -- callers surface a warning). A trailing '\r' is stripped from
+// sequence and quality lines, so CRLF FASTQs parse identically to LF ones
+// (the reference would silently drop every read of a CRLF file as
+// containing a non-ACGT base).
 int64_t vgt_fastq_batch(const char* buf, int64_t len, int64_t* cursor,
                         int64_t batch, int64_t L, int64_t K,
                         uint8_t* codes, int32_t* n_kmers, uint8_t* qual,
-                        int64_t* max_slen) {
+                        int64_t* max_slen, int64_t* qlen_mismatch) {
   const char* p = buf + *cursor;
   const char* end = buf + len;
   int64_t filled = 0;
@@ -72,6 +79,7 @@ int64_t vgt_fastq_batch(const char* buf, int64_t len, int64_t* cursor,
     nl = find_nl(p, end);
     int64_t slen = nl - seq;
     if (nl == end) { p = rec; break; }
+    if (slen > 0 && seq[slen - 1] == '\r') --slen;
     p = nl + 1;
     // + line
     nl = find_nl(p, end);
@@ -82,8 +90,10 @@ int64_t vgt_fastq_batch(const char* buf, int64_t len, int64_t* cursor,
     nl = find_nl(p, end);
     int64_t qlen = nl - q;
     if (nl == end) { p = rec; break; }
+    if (qlen > 0 && q[qlen - 1] == '\r') --qlen;
     p = nl + 1;
 
+    if (qlen != slen) ++*qlen_mismatch;
     if (slen > *max_slen) *max_slen = slen;
     uint8_t* crow = codes + filled * L;
     int64_t ln = slen < L ? slen : L;

@@ -43,16 +43,19 @@ DEVICE_HBM_GBPS = {
 }
 
 # measured per-lane random-access rates (lanes/sec); tools/bench_gather.py
-# word/row: 4 B / 128 B gathers from large tables. scatter: row scatters
-# (the engine has none left on the hot path). scalar: flat scalar-element
-# scatters (vectorized, ~25x a row scatter). sort: u32 device sort keys/s
-# (the compaction primitive).
+# + tools/bench_rowwidth.py. Row-gather rates depend sharply on row WIDTH:
+# XLA row-DMAs full-lane-width (128 u32 = 512 B) rows at ~95 M rows/s but
+# SCALARIZES sub-lane-width rows (128 B: 28 M/s) -- so the model carries a
+# rate per width family. word: 4 B elements (prefilter-shaped). row128 /
+# row512: 32 / 128 u32 rows. scatter: row scatters (none left on the hot
+# path). scalar: flat scalar-element scatters (vectorized, ~25x a row
+# scatter). sort: u32 device sort keys/s (the compaction primitive).
 DEVICE_LANE_RATES = {
-    "TPU v5 lite": dict(word=81e6, row=30e6, scatter=29e6,
-                        scalar=600e6, sort=2.5e9),
+    "TPU v5 lite": dict(word=81e6, row=30e6, row128=28e6, row512=95e6,
+                        scatter=29e6, scalar=600e6, sort=2.5e9),
 }
-_DEFAULT_RATES = dict(word=81e6, row=30e6, scatter=29e6,
-                      scalar=600e6, sort=2.5e9)
+_DEFAULT_RATES = dict(word=81e6, row=30e6, row128=28e6, row512=95e6,
+                      scatter=29e6, scalar=600e6, sort=2.5e9)
 
 
 def device_hbm_gbps(device_kind: str) -> float:
@@ -81,6 +84,9 @@ def device_lane_rates(device_kind: str, measured: dict | None = None):
             base["word"] = w
         if r:
             base["row"] = r
+            base["row128"] = r
+        if measured.get("row_gather_512B"):
+            base["row512"] = measured["row_gather_512B"]
         if s:
             base["scatter"] = s
         if sc:
@@ -94,11 +100,18 @@ def device_lane_rates(device_kind: str, measured: dict | None = None):
 class StepTraffic:
     """Per-single-orientation-step traffic model. Each term mirrors one
     gather/scatter/sort family in engine/batch.py; `lowq_frac` comes from
-    the engine's own telemetry so the model tracks the actual workload."""
+    the engine's own telemetry so the model tracks the actual workload.
+
+    Row lanes are split by width family because the measured per-row rates
+    differ ~3.4x between sub-lane-width (<=128 B, scalarized) and
+    full-lane-width (512 B, row-DMA) gathers. Narrow-row gathers (8-16 B
+    rows: packed meta pairs, scan tests) are counted in ``word_lanes`` --
+    measured within a few 10s of % of the 4 B word rate."""
 
     bytes_total: float
     word_lanes: float
-    row_lanes: float
+    row128_lanes: float    # sub-lane-width rows (window/aux gathers)
+    row512_lanes: float    # full-lane-width bucket rows (exact probes)
     scalar_lanes: float    # scalar-element scatter source lanes
     sort_keys: float       # u32 keys through sort-based compactions
     detail: dict
@@ -114,48 +127,55 @@ def step_traffic(cfg, dix, B: int, lowq_frac: float = 0.05) -> StepTraffic:
     FA = max(64, B * cfg.agree_cap)
     no_big = dix.ref_scan_max < cfg.block_size_threshold
     PG = 64 if no_big else 128       # neighbor key grid columns
-    N_probe = NI * PG * 2            # x2 dicts (interleaved columns)
     NC = max(64, int(NI * PG * cfg.probe_active_frac))
-    NS = max(64, int(NI * PG * cfg.sparse_frac))
-    scan_r = min(cfg.scan_slot_cap, dix.ref_scan_max)
-    scan_s = min(cfg.scan_slot_cap, dix.snp_scan_max)
+    scan_r = min(cfg.scan_slot_cap, getattr(dix, "ref_scan_max", 100))
+    scan_s = min(cfg.scan_slot_cap, getattr(dix, "snp_scan_max", 100))
+    # scan-stage gathers run on the COMPACTED test-lane grids (backend.
+    # _scan_lanes), not the full (NI, S) grids
+    CS_r = max(64, int(NI * scan_r * min(cfg.scan_active_frac, 1.0)))
+    CS_s = max(64, int(NI * scan_s * min(cfg.scan_active_frac, 1.0)))
     NA = max(64, B // 4)
     NAX = max(64, 4 * NA)
     NSE = max(64, int(B * (E + 1) * cfg.sparse_events_frac))
 
-    # (word_lanes, row_lanes, scalar_scatter_lanes, sort_keys, bytes)
+    # (word_lanes, row128_lanes, row512_lanes, scalar_lanes, sort_keys,
+    #  bytes)
     d = {}
-    d["exact"] = (0, B * K * chain, 0, 0, B * K * chain * row_b)
-    d["bounds"] = (NI * 2, NI * dix.ref_win_rows, 0, 0,
+    d["exact"] = (0, 0, B * K * chain, 0, 0, B * K * chain * row_b)
+    d["bounds"] = (NI * 2, NI * dix.ref_win_rows, 0, 0, 0,
                    NI * (8 + dix.ref_win_rows * 128))
-    d["bf"] = (NI * 2, 0, 0, 0, NI * 8)
-    d["scan"] = (NI * scan_r, NI * (scan_r + 2 * scan_s), 0, 0,
-                 NI * (scan_r * 12 + scan_s * 16))
-    d["probe_keys"] = (0, NC, 0, 0, NC * 8)       # pre-compaction key rows
-    d["prefilter"] = (NC, 0, 0, 0, NC * 4)
-    d["sparse"] = (0, NS * chain, 3 * NS, 0, NS * chain * row_b)
-    d["aux"] = (0, NH, 0, 0, NH * 80)
+    d["bf"] = (NI * 2, 0, 0, 0, 0, NI * 8)
+    # per compacted test lane: ref scan = ref_lo word + meta 8 B row;
+    # snp scan = snp_test 8 B row + meta 8 B row
+    d["scan"] = (CS_r * 2 + CS_s * 2, 0, 0, 0, 0, CS_r * 12 + CS_s * 16)
+    # probe stage: key-pair row gather on NC compacted lanes, direct
+    # bucket lookup (512 B rows), 3-word scalar scatter-back
+    d["probe"] = (NC, 0, NC * chain, 3 * NC, 0,
+                  NC * 8 + NC * chain * row_b)
+    d["aux"] = (0, NH, 0, 0, 0, NH * 80)
     # events: ref+snp exact scatter densely (B*2K); aux + neighbor events
     # are compacted first; every record is 2 scalar word scatters
-    d["events"] = (0, NAX + NSE, 2 * (B * 2 * K + NAX + NSE), 0,
+    d["events"] = (0, NAX + NSE, 0, 2 * (B * 2 * K + NAX + NSE), 0,
                    B * (E + 1) * 8 + (NAX + NSE) * 28)
-    d["vote"] = (0, 0, 0, 0, E * B * 8)           # Pallas VMEM streams
-    d["pileup"] = (2 * FA + FA // 2, 2 * FA, FA, 0,
+    d["vote"] = (0, 0, 0, 0, 0, E * B * 8)        # Pallas VMEM streams
+    d["pileup"] = (2 * FA + FA // 2, 2 * FA, 0, FA, 0,
                    FA * 36 + (FA // 2) * 12)
     # sort-based compactions: items + probe hits + amb + aux + sparse
-    # events + agree contexts + site hits + active/sparse probe lanes
-    d["compact"] = (0, 0, 0,
+    # events + agree contexts + site hits + active probe lanes + scan grids
+    d["compact"] = (0, 0, 0, 0,
                     B * K + NI * (PG * 2 + scan_r + scan_s) + B * K * 2
                     + NA * 10 + NH * 10 + B * E + FA * cfg.sites_per_context
-                    + NI * PG * (1 + cfg.probe_active_frac), 0)
+                    + NI * PG, 0)
 
     w = float(sum(v[0] for v in d.values()))
-    r = float(sum(v[1] for v in d.values()))
-    s = float(sum(v[2] for v in d.values()))
-    so = float(sum(v[3] for v in d.values()))
-    byts = float(sum(v[4] for v in d.values()))
-    return StepTraffic(bytes_total=byts, word_lanes=w, row_lanes=r,
-                       scalar_lanes=s, sort_keys=so, detail=d)
+    r1 = float(sum(v[1] for v in d.values()))
+    r5 = float(sum(v[2] for v in d.values()))
+    s = float(sum(v[3] for v in d.values()))
+    so = float(sum(v[4] for v in d.values()))
+    byts = float(sum(v[5] for v in d.values()))
+    return StepTraffic(bytes_total=byts, word_lanes=w, row128_lanes=r1,
+                       row512_lanes=r5, scalar_lanes=s, sort_keys=so,
+                       detail=d)
 
 
 def roofline(cfg, dix, device_kind: str, B: int,
@@ -169,7 +189,8 @@ def roofline(cfg, dix, device_kind: str, B: int,
     mult = (1.0 + retry_frac) / B
     rates = device_lane_rates(device_kind, gather_rates)
     lane_time_per_read = (tr.word_lanes / rates["word"]
-                          + tr.row_lanes / rates["row"]
+                          + tr.row128_lanes / rates["row128"]
+                          + tr.row512_lanes / rates["row512"]
                           + tr.scalar_lanes / rates["scalar"]
                           + tr.sort_keys / rates["sort"]) * mult
     bw = device_hbm_gbps(device_kind) * 1e9
@@ -181,7 +202,8 @@ def roofline(cfg, dix, device_kind: str, B: int,
         bytes_per_read=round(bytes_per_read, 1),
         lanes_per_read=dict(
             word=round(tr.word_lanes * mult, 1),
-            row=round(tr.row_lanes * mult, 1),
+            row128=round(tr.row128_lanes * mult, 1),
+            row512=round(tr.row512_lanes * mult, 1),
             scalar=round(tr.scalar_lanes * mult, 1),
             sort=round(tr.sort_keys * mult, 1)),
         bw_bound_reads_per_sec=round(bw_bound, 0),

@@ -184,24 +184,26 @@ def pick_runner(index, fq):
                          max_kmers_per_read=READ_LEN // 32,
                          ht_target_load=0.24,
                          neighbor_item_frac=0.0834,   # keep NI at 8192
-                         probe_active_frac=0.35,      # act max ~113.8K
+                         probe_active_frac=0.25,      # act max 113,796
+                                                      # -> NC 131,072
                          pallas_vote=pv,
                          group_size=g, pipeline_depth=depth,
                          # capacities right-sized to MEASURED per-step
                          # maxima on this workload (engine *_lanes_max /
-                         # ev_max telemetry; 1.5-4x headroom each) --
+                         # ev_max telemetry; 1.15-4x headroom each) --
                          # every compacted-slot gather pays full lane
                          # cost whether the slot is live or padding, and
                          # auto-retry escalation restores exactness if a
                          # cap ever trips:
                          #   ev_max=4            -> events_per_read=16
-                         #   sparse_lanes 5069   -> NS 8192
+                         #   agree_lanes 96,742  -> FA 131,072 (cap 4;
+                         #                          cap 3 = 1.6% margin)
                          #   ref/snp scan 3137/5713 -> CS 4915/15974
-                         #   probe_lanes 4103    -> NH 8192
+                         #   probe_lanes 4103    -> NH 6144
                          events_per_read=16,
                          sparse_frac=0.015625,
                          scan_active_frac=0.15,
-                         probe_hit_cap=8)
+                         probe_hit_cap=6)
         return GenoRunner(index, cfg, queued_orientation=True, dix=dix)
 
     dev = jax.devices()[0].device_kind
@@ -390,7 +392,10 @@ def main():
     def one_pass(prev_probe):
         nonlocal best_probe
         r = _timed_pass(runner, fq)
-        pr = _device_pass(runner, sets) if sets is not None else None
+        # 2 reps (best-of): a single 6-batch probe has ~±3% jitter, right
+        # at the clean/polluted bar -- one-rep probes flagged half of one
+        # capture's passes for 2-4% dips
+        pr = _device_pass(runner, sets, reps=2) if sets is not None else None
         if pr is not None:
             best_probe = max(best_probe, pr)
         passes.append((r, prev_probe, pr))

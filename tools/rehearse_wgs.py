@@ -282,6 +282,14 @@ def main():
     ap.add_argument("--limit-batches", type=int, default=2)
     ap.add_argument("--phase", default="all",
                     choices=["all", "gen", "index", "geno"])
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint path prefix (resume-on-restart); "
+                         "endurance kill/resume runs use this")
+    ap.add_argument("--checkpoint-every", type=int, default=16)
+    ap.add_argument("--out", default="out.vcf",
+                    help="output VCF filename inside the cache dir")
+    ap.add_argument("--progress-every", type=float, default=30.0,
+                    help="seconds between progress log lines (0=off)")
     args = ap.parse_args()
 
     os.makedirs(args.cache, exist_ok=True)
@@ -325,13 +333,34 @@ def main():
     log("runner ready; streaming reads")
     t0 = time.time()
     n0 = runner.n_reads
-    runner.consume_fastq(fq, limit_batches=args.limit_batches or None)
+    stop_progress = None
+    if args.progress_every:
+        import threading
+
+        ev = threading.Event()
+
+        def _progress():
+            last_n, last_t = runner.n_reads, time.time()
+            while not ev.wait(args.progress_every):
+                n, t = runner.n_reads, time.time()
+                log(f"progress: {n} reads total, "
+                    f"{(n - last_n) / max(t - last_t, 1e-9):.0f} reads/s "
+                    f"over the last {t - last_t:.0f}s")
+                last_n, last_t = n, t
+
+        threading.Thread(target=_progress, daemon=True).start()
+        stop_progress = ev.set
+    runner.consume_fastq(fq, limit_batches=args.limit_batches or None,
+                         checkpoint_path=args.checkpoint,
+                         checkpoint_every=args.checkpoint_every)
     jax.block_until_ready(runner.ref_cnt)
+    if stop_progress:
+        stop_progress()
     dt = time.time() - t0
     log(f"geno done: {runner.n_reads} reads in {dt:.1f}s "
         f"({(runner.n_reads-n0)/dt:.0f} reads/s on the virtual mesh), "
         f"stats={runner.stats_totals}")
-    out = os.path.join(args.cache, "out.vcf")
+    out = os.path.join(args.cache, args.out)
     runner.write_vcf(vcf, out)
     log(f"vcf written: {sum(1 for _ in open(out))} lines")
     if args.spot_parity:

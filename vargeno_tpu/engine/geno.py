@@ -757,17 +757,28 @@ class GenoRunner:
         base_it = iter_read_batches(
             fastq_path, B, cfg.max_read_len, cfg.max_kmers_per_read,
             skip_reads=skip)
+        # G == 1: ALSO start the device upload in the producer thread --
+        # device_put is async, so issuing it off-thread overlaps the
+        # ~1 MB/batch host->device transfer with the dispatch loop instead
+        # of paying it inside jnp.asarray at dispatch time. Grouped
+        # staging (G > 1) np.stacks sub-batches on host, so it keeps numpy.
+        pre_up = encode is not None and G == 1
         if encode is not None:
             # encode in the PRODUCER thread: the native parse + pack both
             # release the GIL, so they overlap the main thread's dispatch
             # loop instead of serializing into it (~10-15 ms/batch)
             def _producer():
                 for b in base_it:
-                    yield b, encode(b.codes, b.n_kmers)
+                    e = encode(b.codes, b.n_kmers)
+                    if pre_up:
+                        yield (b, tuple(jnp.asarray(x) for x in e),
+                               jnp.asarray(b.qual))
+                    else:
+                        yield b, e, None
         else:
             def _producer():
                 for b in base_it:
-                    yield b, None
+                    yield b, None, None
 
         it = iter(prefetch(_producer(), depth=3))
         try:
@@ -777,10 +788,11 @@ class GenoRunner:
                     item = next(it, None)
                 if item is None:
                     break
-                batch, enc0 = item
+                batch, enc0, q_dev = item
                 with (st.stage("dispatch") if st
                       else contextlib.nullcontext()):
-                    dispatch(batch.codes, batch.n_kmers, batch.qual,
+                    dispatch(batch.codes, batch.n_kmers,
+                             batch.qual if q_dev is None else q_dev,
                              batch.n_valid,
                              (batch.codes, batch.n_kmers, batch.qual,
                               batch.n_valid), enc=enc0)

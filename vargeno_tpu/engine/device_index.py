@@ -142,8 +142,8 @@ def max_run(sorted_keys, chunk: int = 1 << 26):
     return max(best, carry, 1)
 
 
-_DERIVED_VERSION = 4  # bump when table layouts / hash family change
-                      # (v4: 32-slot tile-width buckets)
+_DERIVED_VERSION = 5  # bump when table layouts / hash family change
+                      # (v5: field-blocked bucket rows)
 
 
 class _DerivedCache:

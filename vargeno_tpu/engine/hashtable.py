@@ -10,8 +10,11 @@ in vector registers. Linear probing across buckets; the number of unrolled
 bucket visits is the build-time maximum chain length (typically 2 at the
 0.5 load factor used here).
 
-Entry layout per slot: [key_hi, key_lo, pos, meta] uint32, with
-meta = occupied<<31 | snp_info<<16 | flag.
+Row layout is FIELD-BLOCKED: [hi x S | lo x S | pos x S | meta x S]
+uint32 (S slots/bucket), with meta = occupied<<31 | snp_info<<16 | flag --
+field extraction on device is a contiguous lane slice of the gathered
+128-lane row; the earlier per-slot interleaved layout forced XLA to emit
+a relayout copy of every lookup's gathered rows.
 """
 
 from __future__ import annotations
@@ -113,20 +116,23 @@ def build_hash_table(hi: np.ndarray, lo: np.ndarray, pos: np.ndarray,
     if n:
         chain = max(chain, int(((placed - home) % nb).max()) + 1)
 
-    # slot assignment within buckets
+    # slot assignment within buckets; FIELD-BLOCKED row layout
+    # [hi x S | lo x S | pos x S | meta x S]: device-side field extraction
+    # is a contiguous lane slice of the gathered row (an interleaved
+    # (S, 4) layout forced a relayout copy of every lookup's result)
     order2 = np.argsort(placed, kind="stable")
     pb = placed[order2]
     slot = np.arange(n) - np.searchsorted(pb, pb)
-    table = np.zeros((nb, slots_per_bucket * 4), np.uint32)
-    col = slot * 4
+    S = slots_per_bucket
+    table = np.zeros((nb, S * 4), np.uint32)
     rows = pb
-    table[rows, col + 0] = hi[order2]
-    table[rows, col + 1] = lo[order2]
-    table[rows, col + 2] = pos[order2]
+    table[rows, slot] = hi[order2]
+    table[rows, S + slot] = lo[order2]
+    table[rows, 2 * S + slot] = pos[order2]
     meta = (np.uint32(1) << np.uint32(31)) | flag[order2].astype(np.uint32)
     if info is not None:
         meta = meta | (info[order2].astype(np.uint32) << np.uint32(16))
-    table[rows, col + 3] = meta
+    table[rows, 3 * S + slot] = meta
     return HostHashTable(table=table, nb=nb, chain=int(chain))
 
 
@@ -189,16 +195,19 @@ def ht_lookup_both(table2d, nb: int, chain: int, q_hi, q_lo, valid=None):
     s_meta = jnp.zeros(shp, U32)
     for c in range(chain):
         row = jnp.take(table2d, (b + c) % nb, axis=0)
-        row = row.reshape(shp + (S, 4))
-        meta = row[..., 3]
+        # field-blocked row: contiguous lane slices, no relayout
+        hi_s = row[..., 0:S]
+        lo_s = row[..., S:2 * S]
+        pos_s = row[..., 2 * S:3 * S]
+        meta = row[..., 3 * S:4 * S]
         occ = (meta >> 31) != 0
-        keyeq = occ & (row[..., 0] == q_hi[..., None]) & (
-            row[..., 1] == q_lo[..., None])
+        keyeq = occ & (hi_s == q_hi[..., None]) & (
+            lo_s == q_lo[..., None])
         tag_snp = (meta & U32(0x80)) != 0
         for is_snp in (False, True):
             m = keyeq & (tag_snp if is_snp else ~tag_snp)
             anym = jnp.any(m, axis=-1)
-            sel_pos = jnp.sum(jnp.where(m, row[..., 2], 0), axis=-1)
+            sel_pos = jnp.sum(jnp.where(m, pos_s, 0), axis=-1)
             sel_meta = jnp.sum(jnp.where(m, meta, 0), axis=-1)
             if is_snp:
                 new = anym & ~s_found
@@ -247,13 +256,16 @@ def ht_lookup(table2d, nb: int, chain: int, q_hi, q_lo, valid=None):
     meta = jnp.zeros(q_hi.shape, U32)
     for c in range(chain):
         row = jnp.take(table2d, (b + c) % nb, axis=0)  # (..., S*4)
-        row = row.reshape(q_hi.shape + (S, 4))
-        occ = (row[..., 3] >> 31) != 0
-        m = occ & (row[..., 0] == q_hi[..., None]) & (
-            row[..., 1] == q_lo[..., None])
+        hi_s = row[..., 0:S]
+        lo_s = row[..., S:2 * S]
+        pos_s = row[..., 2 * S:3 * S]
+        meta_s = row[..., 3 * S:4 * S]
+        occ = (meta_s >> 31) != 0
+        m = occ & (hi_s == q_hi[..., None]) & (
+            lo_s == q_lo[..., None])
         anym = jnp.any(m, axis=-1)
-        sel_pos = jnp.sum(jnp.where(m, row[..., 2], 0), axis=-1)
-        sel_meta = jnp.sum(jnp.where(m, row[..., 3], 0), axis=-1)
+        sel_pos = jnp.sum(jnp.where(m, pos_s, 0), axis=-1)
+        sel_meta = jnp.sum(jnp.where(m, meta_s, 0), axis=-1)
         new = anym & ~found
         pos = jnp.where(new, sel_pos, pos)
         meta = jnp.where(new, sel_meta, meta)

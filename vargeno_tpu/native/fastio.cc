@@ -265,13 +265,17 @@ int64_t vgt_ht_build(const uint32_t* hi, const uint32_t* lo,
     uint64_t d = 0;
     while (cap[b] >= slots) { b = (b + 1) & mask; ++d; }
     int64_t col = cap[b]++;
-    uint32_t* row = table + (b * slots + col) * 4;
-    row[0] = hi[i];
-    row[1] = lo[i];
-    row[2] = pos[i];
+    // FIELD-BLOCKED row: [hi x slots | lo x slots | pos x slots |
+    // meta x slots] -- field extraction on device is a contiguous lane
+    // slice of the gathered row instead of a strided (slots, 4) reshape,
+    // which XLA lowered as a whole-result relayout copy per lookup
+    uint32_t* row = table + b * slots * 4;
+    row[col] = hi[i];
+    row[slots + col] = lo[i];
+    row[2 * slots + col] = pos[i];
     uint32_t meta = 0x80000000u | (uint32_t)flag[i];
     if (info) meta |= ((uint32_t)info[i]) << 16;
-    row[3] = meta;
+    row[3 * slots + col] = meta;
     if (d > maxd) maxd = d;
   }
   return (int64_t)maxd + 1;

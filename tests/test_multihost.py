@@ -108,6 +108,25 @@ def test_multihost_sharded_dict_golden(mini_prefix, tmp_path):
 
 
 @pytest.mark.slow
+def test_multihost_queued_escalation_golden(mini_prefix, tmp_path):
+    """Forced capacity overflow under the lockstep queued-retry protocol:
+    undersized event/probe caps must trip the replicated overflow
+    counters, escalate identically on both processes (the retry schedule
+    is derived from the SAME replicated stats the escalation reads), and
+    still byte-match golden."""
+    out = str(tmp_path / "out.vcf")
+    port = _free_port()
+    tiny = ("--events-per-read", "4", "--probe-hit-cap", "2",
+            "--agree-cap", "1")
+    _spawn_cluster([
+        _geno_cmd(mini_prefix, out, port, 0, tiny),
+        _geno_cmd(mini_prefix, str(tmp_path / "ignored.vcf"), port, 1,
+                  tiny),
+    ])
+    assert open(out, "rb").read() == _golden()
+
+
+@pytest.mark.slow
 def test_multihost_checkpoint_resume(mini_prefix, tmp_path):
     """Interrupt after 3 global batches, resume, byte-match golden. The
     checkpoint holds merged layout-independent counts + the global read

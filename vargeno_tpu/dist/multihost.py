@@ -249,6 +249,7 @@ class _MultiHostMixin:
                 self.n_reads = skip
         inflight: deque = deque()
         nb = 0
+        n_retry_batches = 0
         # pending retries per PROCESS -- identical on every process by
         # construction (derived from replicated stats only)
         pend = np.zeros(self._n_procs, np.int64)
@@ -259,7 +260,8 @@ class _MultiHostMixin:
         L = None   # (LB, L) row width, learned from the first batch
 
         def dispatch_retry():
-            nonlocal n_local
+            nonlocal n_local, n_retry_batches
+            n_retry_batches += 1
             take_all = np.minimum(pend, LB)
             self.n_retry_reads += int(take_all.sum())
             tc, tk, tq = [], [], []
@@ -358,6 +360,13 @@ class _MultiHostMixin:
         drain()
         if checkpoint_path:
             self._ckpt_save(checkpoint_path)
+        if self._pid == 0 and nb:
+            import sys
+
+            print(f"# multihost queued-retry: {nb} forward + "
+                  f"{n_retry_batches} retry batches = "
+                  f"{(nb + n_retry_batches) / nb:.3f}x device work/read "
+                  f"(inline dual = 2.0x)", file=sys.stderr)
         overflow = {k: v for k, v in self.stats_totals.items()
                     if "overflow" in k and v}
         if overflow:

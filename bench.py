@@ -60,9 +60,17 @@ def build_index(fa, vcf):
     from vargeno_tpu.index.build import build_index as bi
 
     prefix = os.path.join(CACHE, "bench")
+    tfile = os.path.join(CACHE, "ibuild.json")
     if store.exists(prefix):
         return store.load(prefix)
-    return bi(fa, vcf, prefix)
+    t0 = time.time()
+    idx = bi(fa, vcf, prefix)
+    try:   # cold-build seconds, reported as the index_build metric
+        json.dump({"index_build_s": round(time.time() - t0, 2)},
+                  open(tfile, "w"))
+    except OSError:
+        pass
+    return idx
 
 
 def measure_reference(fa, vcf, fq) -> float:
@@ -454,6 +462,23 @@ def main():
               f"(retry_frac {line['retry_frac']})", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 - reporting only
         print(f"# device_rate unavailable: {e!r}", file=sys.stderr)
+    try:
+        # index-build companion metric (vargeno index is half the CLI
+        # surface, qv.cc:2239-2389): cold-build seconds recorded when this
+        # cache was first built, versus the reference binary's seconds on
+        # the same dataset (tools/bench_index_build.py, persisted in
+        # bench_baseline.json)
+        ib = json.load(open(os.path.join(CACHE, "ibuild.json")))
+        line["index_build_s"] = ib["index_build_s"]
+        rb = (json.load(open(BASELINE_FILE)).get("ref_index_build_s")
+              if os.path.exists(BASELINE_FILE) else None)
+        if rb:
+            line["index_build_vs"] = round(rb / ib["index_build_s"], 2)
+        print(f"# index_build: {line['index_build_s']} s"
+              + (f" ({line['index_build_vs']}x the reference binary)"
+                 if rb else ""), file=sys.stderr)
+    except Exception:  # noqa: BLE001 - cache predates the timing file
+        pass
     try:
         rep = _roofline_report(runner, rate)
         print(f"# roofline: {json.dumps(rep)}", file=sys.stderr)

@@ -167,6 +167,9 @@ class ShardedGenoRunner(GenoRunner):
     D * batch_reads reads; device d handles reads [d*B, (d+1)*B). Inherits
     GenoRunner's pipelined/escalating/checkpointed host loop."""
 
+    _producer_upload = False    # _put_data shards from HOST numpy; a
+                                # producer-thread default-device upload
+                                # would just bounce through np.asarray
     _stats_replicated = False   # multi-host subclasses set True (see
                                 # _MeshProc: replicated stats make every
                                 # process take identical escalation steps)

@@ -761,8 +761,11 @@ class GenoRunner:
         # device_put is async, so issuing it off-thread overlaps the
         # ~1 MB/batch host->device transfer with the dispatch loop instead
         # of paying it inside jnp.asarray at dispatch time. Grouped
-        # staging (G > 1) np.stacks sub-batches on host, so it keeps numpy.
-        pre_up = encode is not None and G == 1
+        # staging (G > 1) np.stacks sub-batches on host, and mesh runners
+        # do their own sharded placement (_put_data would round-trip a
+        # pre-placed array through np.asarray), so both keep numpy.
+        pre_up = (encode is not None and G == 1
+                  and getattr(self, "_producer_upload", True))
         if encode is not None:
             # encode in the PRODUCER thread: the native parse + pack both
             # release the GIL, so they overlap the main thread's dispatch

@@ -90,10 +90,13 @@ class GenoConfig:
                                    # typical blocks are 1-2 rows against
                                    # 13-24 slots); overflow is counted and
                                    # auto-escalated with the scan caps
-    sparse_frac: float = 0.0625    # survivor-lane fraction kept after the
-                                   # full-key prefilter in sparse lookups
-                                   # (observed pass rate ~3%; overflow is
-                                   # counted and auto-retry doubles it)
+    sparse_frac: float = 0.0625    # RETIRED (r5): the one-bit prefilter
+                                   # + second compaction it sized cost
+                                   # more than the direct 512 B bucket
+                                   # probes they pruned (backend.
+                                   # exact_both_sparse docstring); field
+                                   # kept so older configs/escalation
+                                   # records stay loadable -- inert
     sparse_events_frac: float = 0.0625  # compacted snp-exact + neighbor
                                    # event lanes kept, as a fraction of
                                    # B*(E+1) (these event classes are a
@@ -104,9 +107,9 @@ class GenoConfig:
     probe_active_frac: float = 0.25  # active-lane fraction kept by the
                                    # neighbor-probe pre-compaction (BF
                                    # bounds + base masks kill most lanes;
-                                   # gathers are lane-rate-bound, so the
-                                   # prefilter runs on compacted lanes);
-                                   # overflow counted + auto-escalated
+                                   # the direct bucket lookup runs on the
+                                   # compacted lanes); overflow counted +
+                                   # auto-escalated
     auto_tune: bool = False        # shrink lane capacities to measured
                                    # per-batch maxima x tune_headroom after
                                    # tune_batches batches and recompile
